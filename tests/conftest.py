@@ -3,12 +3,20 @@ tests run without TPU hardware.  Must run before jax is imported anywhere."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The sandbox environment pins JAX_PLATFORMS=axon (a tunneled remote TPU);
+# tests must run on a local virtual 8-device CPU mesh, so force the platform
+# both via env (for subprocesses) and jax.config (which wins over the
+# already-initialized axon plugin registration).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import subprocess
 import sys
