@@ -1,0 +1,98 @@
+"""High-level codec API: device (JAX) compress/decompress with host framing.
+
+This is the user-facing equivalent of the reference's `snappy_compress` /
+`snappy_decompress` entry points (snappy_compression.h:8,
+snappy_decompression.h:15), producing/consuming the same raw wire format.
+Batches are padded to power-of-two block counts so jit recompiles stay
+bounded.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .format import constants as C
+from .format.varint import encode_varint
+from .kernels.decode_jax import decode_blocks
+from .kernels.encode_jax import encode_blocks
+from .model.decode import CorruptError
+from .stream import framing
+
+_MAX_DEVICE_BATCH = 128  # blocks per device call (8 MiB input per call)
+
+
+def _bucket(b: int) -> int:
+    """Round block count up to a power of two (bounded recompile count)."""
+    n = 1
+    while n < b:
+        n *= 2
+    return min(n, _MAX_DEVICE_BATCH)
+
+
+def _batched(nblocks: int):
+    start = 0
+    while start < nblocks:
+        size = min(_MAX_DEVICE_BATCH, nblocks - start)
+        yield start, size, _bucket(size)
+        start += size
+
+
+def compress(data: bytes | np.ndarray) -> bytes:
+    """Device-encode a byte string into a raw Snappy stream."""
+    arr = (
+        np.frombuffer(data, dtype=np.uint8)
+        if isinstance(data, (bytes, bytearray))
+        else np.ascontiguousarray(data, dtype=np.uint8)
+    )
+    if arr.size == 0:
+        return encode_varint(0)
+    blocks, lens = framing.pack_blocks(arr)
+    pieces = [encode_varint(arr.size)]
+    for start, size, bucket in _batched(blocks.shape[0]):
+        bb = np.zeros((bucket, C.MAX_BLOCK_SIZE), dtype=np.uint8)
+        bl = np.zeros(bucket, dtype=np.int32)
+        bb[:size] = blocks[start : start + size]
+        bl[:size] = lens[start : start + size]
+        comp, totals = encode_blocks(bb, bl)
+        comp, totals = np.asarray(comp), np.asarray(totals)
+        for i in range(size):
+            pieces.append(comp[i, : totals[i]].tobytes())
+    return b"".join(pieces)
+
+
+def decompress(data: bytes | np.ndarray) -> bytes:
+    """Device-decode a raw Snappy stream (block-splittable: ops must not
+    straddle 64 KiB output boundaries — true for the reference's and our
+    streams).  Falls back to the sequential model decoder otherwise."""
+    arr = (
+        np.frombuffer(data, dtype=np.uint8)
+        if isinstance(data, (bytes, bytearray))
+        else np.ascontiguousarray(data, dtype=np.uint8)
+    )
+    out_len, ops_start = framing.read_preamble(arr)
+    if out_len == 0:
+        if arr.size != ops_start:
+            raise CorruptError("trailing garbage after empty stream")
+        return b""
+    try:
+        chunks, out_lens = framing.split_ops_stream(arr[ops_start:], out_len)
+    except CorruptError:
+        from .model.decode import decode_ops  # sequential fallback
+
+        return decode_ops(arr[ops_start:], out_len).tobytes()
+    padded, comp_lens = framing.pad_chunks(chunks)
+    out_pieces = []
+    for start, size, bucket in _batched(padded.shape[0]):
+        pc = np.zeros((bucket, C.MAX_COMPRESSED_BLOCK_SIZE), dtype=np.uint8)
+        pl = np.zeros(bucket, dtype=np.int32)
+        ol = np.zeros(bucket, dtype=np.int32)
+        pc[:size] = padded[start : start + size]
+        pl[:size] = comp_lens[start : start + size]
+        ol[:size] = out_lens[start : start + size]
+        out, ok = decode_blocks(pc, pl, ol)
+        out, ok = np.asarray(out), np.asarray(ok)
+        if not ok[:size].all():
+            raise CorruptError(f"malformed block(s) {np.nonzero(~ok[:size])[0].tolist()}")
+        for i in range(size):
+            out_pieces.append(out[i, : ol[i]].tobytes())
+    return b"".join(out_pieces)
