@@ -74,13 +74,25 @@ def decompress(data: bytes | np.ndarray) -> bytes:
         if arr.size != ops_start:
             raise CorruptError("trailing garbage after empty stream")
         return b""
-    try:
-        chunks, out_lens = framing.split_ops_stream(arr[ops_start:], out_len)
-    except CorruptError:
-        from .model.decode import decode_ops  # sequential fallback
+    ops = arr[ops_start:]
+    from . import cpu
 
-        return decode_ops(arr[ops_start:], out_len).tobytes()
-    padded, comp_lens = framing.pad_chunks(chunks)
+    if cpu.available:
+        try:
+            offs, out_lens_np = cpu.scan_ops(ops, out_len)
+            padded, comp_lens = cpu.split_rows(ops, offs, C.MAX_COMPRESSED_BLOCK_SIZE)
+        except cpu.NativeError:
+            # unsplittable stream: native sequential decode (raises on corrupt)
+            return cpu.decompress(arr)
+        out_lens = out_lens_np.astype(np.int64).tolist()
+    else:
+        try:
+            chunks, out_lens = framing.split_ops_stream(ops, out_len)
+        except CorruptError:
+            from .model.decode import decode_ops  # sequential fallback
+
+            return decode_ops(ops, out_len).tobytes()
+        padded, comp_lens = framing.pad_chunks(chunks)
     out_pieces = []
     for start, size, bucket in _batched(padded.shape[0]):
         pc = np.zeros((bucket, C.MAX_COMPRESSED_BLOCK_SIZE), dtype=np.uint8)

@@ -93,15 +93,24 @@ def _op_table(comp_i32: jnp.ndarray):
 def _op_starts(jump: jnp.ndarray, comp_len: jnp.ndarray):
     """Mark true op starts by pointer doubling from offset 0; also return the
     landing bit (the walk reaches exactly comp_len)."""
-    J = jnp.minimum(jnp.concatenate([jump, jnp.array([PAD_OUT], jnp.int32)]), PAD_OUT)
+    # sentinel region is lane-aligned (PAD_OUT..PAD_OUT+127 self-trap)
+    POP = PAD_OUT + 128
+    J = jnp.minimum(
+        jnp.concatenate([jump, jnp.full(128, PAD_OUT, jnp.int32)]), PAD_OUT
+    )
     # positions at/after comp_len must not extend the walk past the landing
-    pos = lax.broadcasted_iota(jnp.int32, (PAD_OUT + 1, 1), 0).reshape(PAD_OUT + 1)
+    pos = lax.broadcasted_iota(jnp.int32, (POP, 1), 0).reshape(POP)
     J = jnp.where(pos >= comp_len, pos, J)  # self-loop once input is consumed
     J = jnp.maximum(J, pos + jnp.where(pos < comp_len, 1, 0))  # force progress
-    R = jnp.zeros(PAD_OUT + 1, dtype=jnp.int32).at[0].set(1)
-    for _ in range(_ROUNDS):
-        R = R | jnp.zeros(PAD_OUT + 1, dtype=jnp.int32).at[J].max(R)
-        J = J[J]
+
+    def body(_, st):
+        J, R = st
+        R = R | jnp.zeros(POP, dtype=jnp.int32).at[J].max(R)
+        return J[J], R
+
+    J, R = lax.fori_loop(
+        0, _ROUNDS, body, (J, jnp.zeros(POP, dtype=jnp.int32).at[0].set(1))
+    )
     starts = (R[:PAD_OUT] == 1) & (pos[:PAD_OUT] < comp_len)
     landed = R[jnp.clip(comp_len, 0, PAD_OUT)] == 1
     return starts, landed
@@ -142,8 +151,7 @@ def decode_block_device(comp_u8: jnp.ndarray, comp_len: jnp.ndarray, out_len: jn
     # offset 0 would make a copy byte its own chain root (self-loop) — corrupt
     bad_ref = jnp.any((~is_lit_byte) & ((ptr < 0) | (opd == 0)) & in_out)
     ptr = jnp.clip(ptr, 0, BS - 1)
-    for _ in range(_ROUNDS):
-        ptr = ptr[ptr]
+    ptr = lax.fori_loop(0, _ROUNDS, lambda _, p: p[p], ptr)
     src = jnp.clip(lit_src[ptr], 0, PAD_OUT - 1)
     out = comp_u8[src]
     out = jnp.where(q < out_len, out, 0).astype(jnp.uint8)

@@ -91,13 +91,17 @@ def _tier_candidates(words: jnp.ndarray, n: jnp.ndarray):
 
 def _lcp(words: jnp.ndarray, cand: jnp.ndarray, pos: jnp.ndarray, n: jnp.ndarray):
     """Exact common-prefix length vs candidate, capped at MAX_COPY_LEN and the
-    block end.  Stride-4 big-endian word compares + byte refinement."""
+    block end.  Stride-4 big-endian word compares + byte refinement.
+
+    The word loop is a fori_loop on purpose: XLA:TPU fuses unrolled chains of
+    data-dependent gathers into catastrophically slow mega-fusions (~1 ms per
+    stage measured on v5e); loop-carried rounds compile to separate fast
+    gather kernels (~2.5 us each)."""
     valid = cand >= 0
     c = jnp.maximum(cand, 0)
-    nfull = jnp.zeros(BS, dtype=jnp.int32)
-    alive = valid
-    extra = jnp.zeros(BS, dtype=jnp.int32)
-    for j in range(_LCP_WORDS):
+
+    def body(j, st):
+        nfull, alive, extra = st
         a = words[jnp.clip(pos + 4 * j, 0, BS - 1)]
         b = words[jnp.clip(c + 4 * j, 0, BS - 1)]
         x = a ^ b
@@ -110,6 +114,14 @@ def _lcp(words: jnp.ndarray, cand: jnp.ndarray, pos: jnp.ndarray, n: jnp.ndarray
         extra = jnp.where(first_mismatch, e, extra)
         alive = alive & eq
         nfull = nfull + alive
+        return nfull, alive, extra
+
+    nfull, alive, extra = lax.fori_loop(
+        0,
+        _LCP_WORDS,
+        body,
+        (jnp.zeros(BS, dtype=jnp.int32), valid, jnp.zeros(BS, dtype=jnp.int32)),
+    )
     lcp = 4 * nfull + jnp.where(alive, 0, extra)
     cap = jnp.minimum(C.MAX_COPY_LEN, n - pos)
     return jnp.where(valid, jnp.minimum(lcp, jnp.maximum(cap, 0)), 0)
@@ -137,14 +149,21 @@ def _greedy_path(best_len: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     J[p] = p + best_len[p] (if a match) else p + 1, clamped to the sentinel
     BS; after round k the mask holds every position reachable from 0 in
     < 2^(k+1) greedy steps."""
-    pos = lax.broadcasted_iota(jnp.int32, (BS + 1, 1), 0).reshape(BS + 1)
+    # sentinel region is lane-aligned: positions >= BS self-trap at BS..BS+127
+    BSP = BS + 128
+    pos = lax.broadcasted_iota(jnp.int32, (BSP, 1), 0).reshape(BSP)
     step = jnp.where(best_len >= C.MIN_MATCH_LEN, best_len, 1)
-    step = jnp.concatenate([step, jnp.array([1], dtype=jnp.int32)])
+    step = jnp.concatenate([step, jnp.ones(128, dtype=jnp.int32)])
     J = jnp.minimum(pos + step, BS)
-    R = jnp.zeros(BS + 1, dtype=jnp.int32).at[0].set(1)
-    for _ in range(_DOUBLING_ROUNDS):
-        R = R | jnp.zeros(BS + 1, dtype=jnp.int32).at[J].max(R)
-        J = J[J]
+
+    def body(_, st):
+        J, R = st
+        R = R | jnp.zeros(BSP, dtype=jnp.int32).at[J].max(R)
+        return J[J], R
+
+    J, R = lax.fori_loop(
+        0, _DOUBLING_ROUNDS, body, (J, jnp.zeros(BSP, dtype=jnp.int32).at[0].set(1))
+    )
     return (R[:BS] == 1) & (pos[:BS] < n)
 
 
@@ -164,7 +183,8 @@ def _refine(is_copy: jnp.ndarray, L: jnp.ndarray, D: jnp.ndarray, n: jnp.ndarray
     """Drop net-negative copies given realized literal-gap contexts; 4
     simultaneous-drop rounds, mirroring model.encode.refine_parse."""
     pos = lax.broadcasted_iota(jnp.int32, (BS, 1), 0).reshape(BS)
-    for _ in range(4):
+
+    def body(_, is_copy):
         cend = jnp.where(is_copy, pos + L, 0)
         pce = jnp.concatenate([jnp.zeros(1, jnp.int32), lax.cummax(cend)[: BS - 1]])
         ncs = jnp.where(is_copy, pos, jnp.int32(BS + 1))
@@ -180,8 +200,9 @@ def _refine(is_copy: jnp.ndarray, L: jnp.ndarray, D: jnp.ndarray, n: jnp.ndarray
             - _hdr_or0(left)
             - _hdr_or0(right)
         )
-        is_copy = is_copy & (benefit >= 0)
-    return is_copy
+        return is_copy & (benefit >= 0)
+
+    return lax.fori_loop(0, 4, body, is_copy)
 
 
 def _emit(block_u32, is_copy, L, D, n):
