@@ -13,8 +13,8 @@ import numpy as np
 
 from .format import constants as C
 from .format.varint import encode_varint
-from .kernels.decode_jax import decode_blocks
-from .kernels.encode_jax import encode_blocks
+from .kernels.pipeline import decode_pipeline as decode_blocks
+from .kernels.pipeline import encode_pipeline as encode_blocks
 from .model.decode import CorruptError
 from .stream import framing
 

@@ -63,12 +63,12 @@ def _gram_hashes(words: jnp.ndarray, gram_len: int) -> jnp.ndarray:
     return h
 
 
-def _tier_candidates(words: jnp.ndarray, n: jnp.ndarray):
+def _tier_candidates(words: jnp.ndarray, n: jnp.ndarray, hashes=None):
     """All candidate position arrays (list of (BS,) int32, -1 = none)."""
     pos = lax.broadcasted_iota(jnp.int32, (BS, 1), 0).reshape(BS)
     cands = []
     for gram_len, n_pred in GRAM_TIERS:
-        h = _gram_hashes(words, gram_len)
+        h = hashes[gram_len] if hashes else _gram_hashes(words, gram_len)
         valid = pos <= n - gram_len
         flag = jnp.where(valid, jnp.uint32(0), jnp.uint32(1))
         sflag, sh, spos = lax.sort((flag, h, pos), num_keys=3)
@@ -128,19 +128,34 @@ def _lcp(words: jnp.ndarray, cand: jnp.ndarray, pos: jnp.ndarray, n: jnp.ndarray
 
 
 def _best_match(block_u32: jnp.ndarray, n: jnp.ndarray):
-    """Per-position (best_len, best_dist): longest LCP over all candidate
-    tiers, ties toward the smallest distance."""
+    """Per-position (best_len, best_dist).
+
+    Two-stage selection, identical to model.encode.best_match: every candidate
+    scored by hash-quantized LCP estimate (largest matching gram tier, ties to
+    the smallest distance), then one exact LCP on the winner."""
     words = _word32(block_u32)
+    hashes = {g: _gram_hashes(words, g) for g, _ in GRAM_TIERS}
     pos = lax.broadcasted_iota(jnp.int32, (BS, 1), 0).reshape(BS)
-    best_len = jnp.zeros(BS, dtype=jnp.int32)
+    best_est = jnp.full(BS, -1, dtype=jnp.int32)
+    best_cand = jnp.full(BS, -1, dtype=jnp.int32)
     best_dist = jnp.zeros(BS, dtype=jnp.int32)
-    for cand in _tier_candidates(words, n):
-        mlen = _lcp(words, cand, pos, n)
+    for cand in _tier_candidates(words, n, hashes):
+        valid = cand >= 0
+        c = jnp.maximum(cand, 0)
+        est = jnp.zeros(BS, dtype=jnp.int32)
+        for g, _ in GRAM_TIERS:
+            h = hashes[g]
+            lim = n - g
+            ok = (h[c] == h) & (pos <= lim) & (c <= lim)
+            est = jnp.where(ok, g, est)
+        est = jnp.where(valid, est, -1)
         dist = pos - cand
-        better = (mlen > best_len) | ((mlen == best_len) & (mlen > 0) & (dist < best_dist))
-        best_len = jnp.where(better, mlen, best_len)
+        better = valid & ((est > best_est) | ((est == best_est) & (dist < best_dist)))
+        best_est = jnp.where(better, est, best_est)
+        best_cand = jnp.where(better, cand, best_cand)
         best_dist = jnp.where(better, dist, best_dist)
-    return best_len, best_dist
+    mlen = _lcp(words, best_cand, pos, n)
+    return mlen, jnp.where(mlen > 0, best_dist, 0)
 
 
 def _greedy_path(best_len: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:

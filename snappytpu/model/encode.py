@@ -116,14 +116,16 @@ def nearest_prev_occurrences(
     return out
 
 
-def candidate_set(block: np.ndarray, n: int) -> np.ndarray:
+def candidate_set(block: np.ndarray, n: int,
+                  hashes: list[np.ndarray] | None = None) -> np.ndarray:
     """(K, n) candidate positions per position (-1 = none)."""
-    words = word32(block)
+    if hashes is None:
+        words = word32(block)
+        hashes = [gram_hashes(words, g) for g, _ in GRAM_TIERS]
     tiers: list[np.ndarray] = []
-    for gram_len, n_pred in GRAM_TIERS:
-        keys = (gram_hashes(words, gram_len),)
+    for (gram_len, n_pred), h in zip(GRAM_TIERS, hashes):
         n_valid = max(n - (gram_len - 1), 0)
-        tiers.extend(nearest_prev_occurrences(keys, n_valid, n_pred))
+        tiers.extend(nearest_prev_occurrences((h,), n_valid, n_pred))
     return np.stack(tiers, axis=0)
 
 
@@ -149,21 +151,51 @@ def lcp_lengths(block: np.ndarray, cand: np.ndarray, n: int) -> np.ndarray:
     return mlen
 
 
+def quantized_lcp(words: np.ndarray, cand: np.ndarray, n: int,
+                  hashes: list[np.ndarray]) -> np.ndarray:
+    """Hash-quantized LCP estimate: the largest gram tier whose hash matches
+    between each position and its candidate (0 if none).  5 cheap gathers per
+    candidate instead of a 17-round exact LCP; the winner is verified exactly
+    afterwards, so hash collisions can only cost density, never correctness."""
+    size = words.shape[0]
+    est = np.zeros(size, dtype=np.int64)
+    valid = cand >= 0
+    pos = np.nonzero(valid)[0]
+    if pos.size == 0:
+        return est
+    c = cand[pos]
+    for (gram_len, _), h in zip(GRAM_TIERS, hashes):
+        ok = (h[pos] == h[c]) & (pos <= n - gram_len) & (c <= n - gram_len)
+        est[pos] = np.where(ok, gram_len, est[pos])
+    return est
+
+
 def best_match(block: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
-    """Per-position best (length, distance): longest LCP over the candidate
-    set, ties broken toward the smallest distance."""
-    cands = candidate_set(block, n)
+    """Per-position best (length, distance).
+
+    Selection is two-stage, mirroring the device pipeline: every candidate is
+    scored by its hash-quantized LCP estimate (ties toward the smallest
+    distance), then the single winner's exact LCP is computed."""
     size = block.shape[0]
-    best_len = np.zeros(size, dtype=np.int64)
-    best_dist = np.zeros(size, dtype=np.int64)
+    words = word32(block)
+    hashes = [gram_hashes(words, g) for g, _ in GRAM_TIERS]
+    cands = candidate_set(block, n, hashes)
     positions = np.arange(size, dtype=np.int64)
+    best_est = np.full(size, -1, dtype=np.int64)
+    best_cand = np.full(size, -1, dtype=np.int64)
+    best_dist = np.zeros(size, dtype=np.int64)
     for k in range(cands.shape[0]):
-        mlen = lcp_lengths(block, cands[k], n)
+        est = quantized_lcp(words, cands[k], n, hashes)
         dist = positions - cands[k]
-        better = (mlen > best_len) | ((mlen == best_len) & (mlen > 0) & (dist < best_dist))
-        best_len = np.where(better, mlen, best_len)
+        valid = cands[k] >= 0
+        better = valid & (
+            (est > best_est) | ((est == best_est) & (dist < best_dist))
+        )
+        best_est = np.where(better, est, best_est)
+        best_cand = np.where(better, cands[k], best_cand)
         best_dist = np.where(better, dist, best_dist)
-    return best_len, best_dist
+    mlen = lcp_lengths(block, best_cand, n)
+    return mlen, np.where(mlen > 0, best_dist, 0)
 
 
 def greedy_parse(mlen: np.ndarray, dist: np.ndarray, n: int):
