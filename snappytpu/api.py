@@ -37,8 +37,11 @@ def _batched(nblocks: int):
         start += size
 
 
-def compress(data: bytes | np.ndarray) -> bytes:
-    """Device-encode a byte string into a raw Snappy stream."""
+def compress(data: bytes | np.ndarray, profile: str = "dense") -> bytes:
+    """Device-encode a byte string into a raw Snappy stream.
+
+    profile: "dense" (default, reference-BST-analog quality) or "fast"
+    (fewer candidate tiers, reference-hash-table analog)."""
     arr = (
         np.frombuffer(data, dtype=np.uint8)
         if isinstance(data, (bytes, bytearray))
@@ -53,7 +56,7 @@ def compress(data: bytes | np.ndarray) -> bytes:
         bl = np.zeros(bucket, dtype=np.int32)
         bb[:size] = blocks[start : start + size]
         bl[:size] = lens[start : start + size]
-        comp, totals = encode_blocks(bb, bl)
+        comp, totals = encode_blocks(bb, bl, profile)
         comp, totals = np.asarray(comp), np.asarray(totals)
         for i in range(size):
             pieces.append(comp[i, : totals[i]].tobytes())

@@ -22,11 +22,13 @@ import sys
 from .bench.metrics import Result, Timer, write_result_csv
 
 
-def _codec(backend: str):
+def _codec(backend: str, profile: str = "dense"):
     if backend == "device":
+        import functools
+
         from . import api
 
-        return api.compress, api.decompress
+        return functools.partial(api.compress, profile=profile), api.decompress
     if backend == "cpu":
         from . import cpu
 
@@ -72,7 +74,10 @@ def main(argv=None):
     elif not infile or not outfile:
         p.error("infile and outfile required")
 
-    compress, decompress = _codec(args.backend)
+    # -c maps to the fast profile, -b to dense — mirroring the reference's
+    # hash-table vs BST compressor pair (cmd.c:64-84)
+    profile = "fast" if (args.c and not args.b) else "dense"
+    compress, decompress = _codec(args.backend, profile)
 
     with open(infile, "rb") as f:
         data = f.read()

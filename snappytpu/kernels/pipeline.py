@@ -301,9 +301,15 @@ def s_emit_bytes(blocks_u8, is_copy, L, D, lit, run_start, rs, rlen, hdr, opb, o
     return out[:, :PAD_OUT].astype(jnp.uint8)
 
 
-def encode_pipeline(blocks_u8, lens):
+def encode_pipeline(blocks_u8, lens, profile: str = "dense"):
     """Staged batch encode: (B, BS) uint8 + (B,) int32 -> ((B, PAD_OUT) uint8,
-    (B,) int32).  Same contract (and bytes) as encode_jax.encode_blocks."""
+    (B,) int32).  Same contract (and bytes) as encode_jax.encode_blocks.
+
+    profile selects the candidate tier set (config.PROFILES): "dense" is the
+    default quality tier (the reference's BST variant analog), "fast" searches
+    fewer gram tiers (its hash-table analog) — both collision-free."""
+    from ..config import PROFILES
+
     blocks_u8 = jnp.asarray(blocks_u8)
     n = jnp.asarray(lens, dtype=jnp.int32)
     words = s_words(blocks_u8)
@@ -311,7 +317,7 @@ def encode_pipeline(blocks_u8, lens):
     for g in (8, 16, 32, 64):
         hashes[g] = s_hash(words, g)
     cands = []
-    for g, n_pred in GRAM_TIERS:
+    for g, n_pred in PROFILES[profile]:
         sflag, sh, spos = s_sort_tier(hashes[g], n - g)
         for k in range(1, n_pred + 1):
             cands.append(s_pred(sflag, sh, spos, k))

@@ -117,13 +117,15 @@ def nearest_prev_occurrences(
 
 
 def candidate_set(block: np.ndarray, n: int,
-                  hashes: list[np.ndarray] | None = None) -> np.ndarray:
+                  hashes: dict[int, np.ndarray] | None = None,
+                  tiers_spec=GRAM_TIERS) -> np.ndarray:
     """(K, n) candidate positions per position (-1 = none)."""
     if hashes is None:
         words = word32(block)
-        hashes = [gram_hashes(words, g) for g, _ in GRAM_TIERS]
+        hashes = {g: gram_hashes(words, g) for g, _ in GRAM_TIERS}
     tiers: list[np.ndarray] = []
-    for (gram_len, n_pred), h in zip(GRAM_TIERS, hashes):
+    for gram_len, n_pred in tiers_spec:
+        h = hashes[gram_len]
         n_valid = max(n - (gram_len - 1), 0)
         tiers.extend(nearest_prev_occurrences((h,), n_valid, n_pred))
     return np.stack(tiers, axis=0)
@@ -152,7 +154,7 @@ def lcp_lengths(block: np.ndarray, cand: np.ndarray, n: int) -> np.ndarray:
 
 
 def quantized_lcp(words: np.ndarray, cand: np.ndarray, n: int,
-                  hashes: list[np.ndarray]) -> np.ndarray:
+                  hashes: dict[int, np.ndarray]) -> np.ndarray:
     """Hash-quantized LCP estimate: the largest gram tier whose hash matches
     between each position and its candidate (0 if none).  5 cheap gathers per
     candidate instead of a 17-round exact LCP; the winner is verified exactly
@@ -164,13 +166,15 @@ def quantized_lcp(words: np.ndarray, cand: np.ndarray, n: int,
     if pos.size == 0:
         return est
     c = cand[pos]
-    for (gram_len, _), h in zip(GRAM_TIERS, hashes):
+    for gram_len, _ in GRAM_TIERS:
+        h = hashes[gram_len]
         ok = (h[pos] == h[c]) & (pos <= n - gram_len) & (c <= n - gram_len)
         est[pos] = np.where(ok, gram_len, est[pos])
     return est
 
 
-def best_match(block: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+def best_match(block: np.ndarray, n: int,
+               tiers_spec=GRAM_TIERS) -> tuple[np.ndarray, np.ndarray]:
     """Per-position best (length, distance).
 
     Selection is two-stage, mirroring the device pipeline: every candidate is
@@ -178,8 +182,8 @@ def best_match(block: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
     distance), then the single winner's exact LCP is computed."""
     size = block.shape[0]
     words = word32(block)
-    hashes = [gram_hashes(words, g) for g, _ in GRAM_TIERS]
-    cands = candidate_set(block, n, hashes)
+    hashes = {g: gram_hashes(words, g) for g, _ in GRAM_TIERS}
+    cands = candidate_set(block, n, hashes, tiers_spec)
     positions = np.arange(size, dtype=np.int64)
     best_est = np.full(size, -1, dtype=np.int64)
     best_cand = np.full(size, -1, dtype=np.int64)
@@ -306,7 +310,7 @@ def emit_ops(ops, block: np.ndarray) -> bytes:
     return bytes(out)
 
 
-def encode_block(block: np.ndarray) -> bytes:
+def encode_block(block: np.ndarray, tiers_spec=GRAM_TIERS) -> bytes:
     """Encode one block (<= MAX_BLOCK_SIZE bytes of uint8) to Snappy ops."""
     block = np.ascontiguousarray(block, dtype=np.uint8)
     n = block.shape[0]
@@ -314,17 +318,18 @@ def encode_block(block: np.ndarray) -> bytes:
         return b""
     if n > C.MAX_BLOCK_SIZE:
         raise ValueError("block larger than MAX_BLOCK_SIZE")
-    mlen, dist = best_match(block, n)
+    mlen, dist = best_match(block, n, tiers_spec)
     ops = refine_parse(greedy_parse(mlen, dist, n))
     return emit_ops(ops, block)
 
 
-def compress(data: bytes | np.ndarray, block_size: int = C.MAX_BLOCK_SIZE) -> bytes:
+def compress(data: bytes | np.ndarray, block_size: int = C.MAX_BLOCK_SIZE,
+             tiers_spec=GRAM_TIERS) -> bytes:
     """Full Snappy stream: varint preamble + concatenated block ops
     (block boundaries are invisible in the stream, matching the reference,
     snappy_compression.c:414-428)."""
     arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray)) else np.asarray(data, dtype=np.uint8)
     out = bytearray(encode_varint(arr.shape[0]))
     for start in range(0, arr.shape[0], block_size):
-        out += encode_block(arr[start : start + block_size])
+        out += encode_block(arr[start : start + block_size], tiers_spec)
     return bytes(out)

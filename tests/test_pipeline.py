@@ -61,3 +61,17 @@ def test_pipeline_decode_rejects_bad_offset():
     padded, comp_lens = framing.pad_chunks([np.frombuffer(ops, dtype=np.uint8)])
     out, ok = decode_pipeline(padded, comp_lens, np.array([5], np.int32))
     assert not bool(np.asarray(ok)[0])
+
+
+def test_fast_profile_matches_model_and_roundtrips():
+    from snappytpu.config import PROFILES
+    from snappytpu.model.decode import decode_ops
+
+    data = corpus.mixed(C.MAX_BLOCK_SIZE, seed=77)
+    padded, n = _pad(data)
+    comp, total = encode_pipeline(padded[None], np.array([n], np.int32), profile="fast")
+    got = np.asarray(comp)[0, : int(total[0])].tobytes()
+    expect = encode_block(np.frombuffer(data, np.uint8), tiers_spec=PROFILES["fast"])
+    assert got == expect
+    out = decode_ops(np.frombuffer(got, np.uint8), len(data))
+    assert out.tobytes() == data
