@@ -108,9 +108,9 @@ def _op_starts(jump: jnp.ndarray, comp_len: jnp.ndarray):
         R = R | jnp.zeros(POP, dtype=jnp.int32).at[J].max(R)
         return J[J], R
 
-    J, R = lax.fori_loop(
-        0, _ROUNDS, body, (J, jnp.zeros(POP, dtype=jnp.int32).at[0].set(1))
-    )
+    # R seeded from J*0 (varying) rather than a replicated constant: keeps the
+    # carry's varying manifest stable under shard_map's check_vma
+    J, R = lax.fori_loop(0, _ROUNDS, body, (J, (J * 0).at[0].set(1)))
     starts = (R[:PAD_OUT] == 1) & (pos[:PAD_OUT] < comp_len)
     landed = R[jnp.clip(comp_len, 0, PAD_OUT)] == 1
     return starts, landed

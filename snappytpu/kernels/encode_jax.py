@@ -116,12 +116,9 @@ def _lcp(words: jnp.ndarray, cand: jnp.ndarray, pos: jnp.ndarray, n: jnp.ndarray
         nfull = nfull + alive
         return nfull, alive, extra
 
-    nfull, alive, extra = lax.fori_loop(
-        0,
-        _LCP_WORDS,
-        body,
-        (jnp.zeros(BS, dtype=jnp.int32), valid, jnp.zeros(BS, dtype=jnp.int32)),
-    )
+    # carries seeded from `c` (not fresh constants) so they share its varying
+    # manifest under shard_map's check_vma — see shard_map.html#scan-vma
+    nfull, alive, extra = lax.fori_loop(0, _LCP_WORDS, body, (c * 0, valid, c * 0))
     lcp = 4 * nfull + jnp.where(alive, 0, extra)
     cap = jnp.minimum(C.MAX_COPY_LEN, n - pos)
     return jnp.where(valid, jnp.minimum(lcp, jnp.maximum(cap, 0)), 0)
@@ -176,9 +173,9 @@ def _greedy_path(best_len: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
         R = R | jnp.zeros(BSP, dtype=jnp.int32).at[J].max(R)
         return J[J], R
 
-    J, R = lax.fori_loop(
-        0, _DOUBLING_ROUNDS, body, (J, jnp.zeros(BSP, dtype=jnp.int32).at[0].set(1))
-    )
+    # R seeded from J*0 (varying) rather than a replicated constant: keeps the
+    # carry's varying manifest stable under shard_map's check_vma
+    J, R = lax.fori_loop(0, _DOUBLING_ROUNDS, body, (J, (J * 0).at[0].set(1)))
     return (R[:BS] == 1) & (pos[:BS] < n)
 
 

@@ -96,5 +96,9 @@ def decode_ops(comp: np.ndarray, out_len: int) -> np.ndarray:
 def decompress(data: bytes | np.ndarray) -> bytes:
     """Full stream decode: varint preamble + ops."""
     arr = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray)) else np.asarray(data, dtype=np.uint8)
+    if arr.size == 0:
+        # the reference emits a zero-byte stream for empty input (its varint
+        # writer emits nothing for n=0, varint.c:12-20); accept it as empty
+        return b""
     out_len, start = decode_varint(arr)
     return decode_ops(arr[start:], out_len).tobytes()
