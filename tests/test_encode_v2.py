@@ -1,0 +1,101 @@
+"""encode_v2 (sort/scan-native device encoder): correctness + density.
+
+Three oracles, per SURVEY.md §4's test strategy:
+  1. round trip through the numpy model decoder (bit-exact),
+  2. cross-decode by the rebuilt reference C binary (wire compat),
+  3. compression ratio at least as good as the reference C compressor's
+     output on the same inputs (BASELINE.json: ">= reference ratio").
+"""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from snappytpu.bench import corpus
+from snappytpu.format.varint import encode_varint
+from snappytpu.kernels.encode_v2 import encode_blocks_v2
+from snappytpu.model import decode as mdec
+from snappytpu.stream import framing
+
+
+def _encode_stream(data: bytes, dense=True) -> bytes:
+    arr = np.frombuffer(data, np.uint8)
+    blocks, lens = framing.pack_blocks(arr)
+    comp, totals = encode_blocks_v2(blocks, lens, dense)
+    comp, totals = np.asarray(comp), np.asarray(totals)
+    stream = bytearray(encode_varint(len(data)))
+    for i in range(blocks.shape[0]):
+        stream += comp[i, : totals[i]].tobytes()
+    return bytes(stream)
+
+
+CASES = dict(corpus.edge_case_corpus())
+CASES["mixed200k"] = corpus.mixed(200_000, seed=8)
+CASES["rep"] = (b"snappy on tpu! " * 7000)[:100_000]
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+@pytest.mark.parametrize("dense", [True, False])
+def test_roundtrip_model_decoder(name, dense):
+    data = CASES[name]
+    if not data:
+        return
+    stream = _encode_stream(data, dense)
+    assert mdec.decompress(stream) == data
+
+
+@pytest.mark.parametrize("name", ["alice_like_text", "mixed200k", "32k_ff"])
+def test_reference_binary_decodes_v2(name, reference_cli, tmp_path):
+    data = CASES[name]
+    stream = _encode_stream(data)
+    comp_f = tmp_path / "in.snappy"
+    out_f = tmp_path / "out.raw"
+    comp_f.write_bytes(stream)
+    subprocess.run(
+        [reference_cli, "-d", str(comp_f), str(out_f)],
+        cwd=tmp_path, check=True, capture_output=True,
+    )
+    assert out_f.read_bytes() == data
+
+
+def test_ratio_beats_reference(reference_cli, tmp_path):
+    """Corpus-aggregate density >= the reference compressor's, per
+    BASELINE.json ("bit-exact round trip at >= reference ratio")."""
+    names = ["alice_like_text", "mixed200k", "32k_ff", "low_entropy_runs",
+             "binary_image_like", "32k_random"]
+    ours_total = ref_total = raw_total = 0
+    per_case = {}
+    for name in names:
+        data = CASES[name]
+        raw = tmp_path / f"{name}.raw"
+        raw.write_bytes(data)
+        refc = tmp_path / f"{name}.snappy"
+        subprocess.run(
+            [reference_cli, "-c", str(raw), str(refc)],
+            cwd=tmp_path, check=True, capture_output=True,
+        )
+        ours = len(_encode_stream(data))
+        ours_total += ours
+        ref_total += refc.stat().st_size
+        raw_total += len(data)
+        per_case[name] = (ours, refc.stat().st_size)
+    assert ours_total <= ref_total, f"aggregate {ours_total} > ref {ref_total}: {per_case}"
+    # and no individual case more than 5% worse
+    for name, (ours, ref) in per_case.items():
+        assert ours <= ref * 1.05, f"{name}: ours {ours} vs ref {ref}"
+
+
+def test_empty_and_tiny():
+    assert mdec.decompress(_encode_stream(b"")) == b""
+    for payload in (b"a", b"ab", b"abc", b"abcd", b"\x00" * 7):
+        assert mdec.decompress(_encode_stream(payload)) == payload
+
+
+def test_block_tail_alignment():
+    # lengths straddling the 4-byte anchor grid and the block boundary
+    base = corpus.text(70_000, seed=3)
+    for ln in (65533, 65536, 65537, 65541, 69999):
+        data = base[:ln]
+        assert mdec.decompress(_encode_stream(data)) == data
