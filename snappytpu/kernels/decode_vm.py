@@ -1,0 +1,280 @@
+"""Pallas decode VM — a per-block sequential Snappy interpreter on the TPU.
+
+Why a sequential kernel: this target's XLA random gathers/scatters run at
+~10 ns/element (scalar-unit speed), so the v1 parallel decoder's pointer-
+doubling rounds (decode_jax.py) cost seconds per batch.  A Pallas kernel
+owning the whole block in VMEM pays NO per-element gather tax: op parsing is
+scalar reads from SMEM, byte movement is vectorized 64-byte window copies
+(dynamic row slices + lane rotations + funnel shifts), and the grid streams
+one block per step with double-buffered VMEM I/O.  The strictly sequential
+op walk makes every valid Snappy stream decodable — arbitrary back-reference
+chain depth and self-overlapping copies (snappy_decompression.c:273-280
+semantics) — with total work proportional to output bytes.
+
+Constraints honored (probed on the real toolchain):
+  * int8/uint8 VMEM refs do not compile -> everything is packed LE int32,
+    4 bytes per lane; byte addressing is funnel shifts.
+  * scalar stores to VMEM are rejected -> writes are full-row read-modify-
+    write with byte masks.
+  * dynamic slices must be lane-row granular -> rows of 128 words (512 B),
+    pltpu.roll for in-row rotation (dynamic shift is supported).
+
+Layouts per block (grid step): comp words both in SMEM (scalar parse) and
+VMEM (vector payload reads); out is a (128, 128) int32 block = 64 KiB.
+
+Validation: malformed streams (bad tag chains, zero/forward offsets, length
+overruns) set a sticky error and the block is reported not-ok — the
+reference's only plausibility check is dead code
+(snappy_decompression.c:262); ours is deterministic.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..format import constants as C
+
+BS = C.MAX_BLOCK_SIZE                      # 65536 output bytes / block
+PAD_OUT = C.MAX_COMPRESSED_BLOCK_SIZE      # 73728 comp bytes / block
+CW = PAD_OUT // 4                          # 18432 comp words = 144 rows
+OUT_ROWS = BS // 512                       # 128 out rows of 128 words
+COMP_ROWS = CW // 128                      # 144
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _byte_at(smem, i):
+    """Scalar byte read from LE-packed words in SMEM."""
+    return (smem[i >> 2] >> ((i & 3) * 8)) & 0xFF
+
+
+def _read_window(buf_ref, byte_off, nrows):
+    """(1, 128) int32: words [byte_off>>2 .. +128) of a packed buffer.
+
+    Reads the two rows covering the window and splices them with lane
+    rotations — the only dynamic addressing Mosaic supports here."""
+    ws = byte_off >> 2
+    row = ws >> 7
+    k = ws & 127
+    a = buf_ref[0, pl.ds(row, 1), :].reshape(1, 128)
+    b = buf_ref[0, pl.ds(jnp.minimum(row + 1, nrows - 1), 1), :].reshape(1, 128)
+    lanes = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    kk = (128 - k) % 128  # pltpu.roll requires non-negative shifts
+    return jnp.where(lanes < 128 - k, pltpu.roll(a, kk, 1), pltpu.roll(b, kk, 1))
+
+
+def _le_funnel(w, sh_bytes):
+    """Byte-align a word window: out[l] = LE word at byte offset 4l+sh."""
+    sh = sh_bytes * 8
+    hi = pltpu.roll(w, 127, 1)
+    u = w.astype(jnp.uint32)
+    uh = hi.astype(jnp.uint32)
+    shifted = (u >> jnp.uint32(sh)) | jnp.where(
+        sh == 0, jnp.uint32(0), uh << jnp.uint32((32 - sh) % 32)
+    )
+    return jnp.where(sh == 0, w, shifted.astype(jnp.int32))
+
+
+def _piece_copy(src_ref, src_rows, out_ref, src, dst, lp):
+    """Copy lp (1..64) bytes from packed buffer src_ref[@src] to the packed
+    out block [@dst].  Vectorized: window read + funnel + rotate + masked
+    row merge; never touches bytes outside [dst, dst+lp)."""
+    w = _read_window(src_ref, src, src_rows)
+    v = _le_funnel(w, src & 3)
+
+    dsh = (dst & 3) * 8
+    uv = v.astype(jnp.uint32)
+    lo = jnp.where(dsh == 0, jnp.uint32(0), pltpu.roll(v, 1, 1).astype(jnp.uint32) >> jnp.uint32((32 - dsh) % 32))
+    u = jnp.where(dsh == 0, v, ((uv << jnp.uint32(dsh)) | lo).astype(jnp.int32))
+    # u[l] holds bytes for dest word (dst>>2)+l; u[0]'s low dsh bits are junk
+
+    dw = dst >> 2
+    dw_end = (dst + lp + 3) >> 2           # exclusive
+    rowd = dw >> 7
+    kd = dw & 127
+    p = pltpu.roll(u, kd, 1)
+
+    esh = (dst + lp) & 3
+    mask_first = (jnp.uint32(0xFFFFFFFF) << jnp.uint32(dsh)).astype(jnp.int32)
+    mask_last = jnp.where(
+        esh == 0, jnp.int32(-1), ((jnp.uint32(1) << jnp.uint32(esh * 8)) - 1).astype(jnp.int32)
+    )
+
+    lanes = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    def merge_row(r):
+        widx = r * 128 + lanes             # global word index per lane
+        inside = (widx >= dw) & (widx < dw_end)
+        m = jnp.where(inside, jnp.int32(-1), 0)
+        m = jnp.where(widx == dw, m & mask_first, m)
+        m = jnp.where(widx == dw_end - 1, m & mask_last, m)
+        d0 = out_ref[0, pl.ds(r, 1), :].reshape(1, 128)
+        out_ref[0, pl.ds(r, 1), :] = ((p & m) | (d0 & ~m)).reshape(1, 128)
+
+    merge_row(rowd)
+
+    @pl.when(((dw_end - 1) >> 7) != rowd)
+    def _():
+        merge_row(jnp.minimum(rowd + 1, OUT_ROWS - 1))
+
+
+def _decode_kernel(comp_lens_ref, out_lens_ref, smem_ref, compv_ref, out_ref, ok_ref):
+    b = pl.program_id(0)
+    comp_len = comp_lens_ref[b]
+    out_len = out_lens_ref[b]
+
+    out_ref[...] = jnp.zeros((1, OUT_ROWS, 128), jnp.int32)
+
+    def byte(i):
+        return _byte_at(smem_ref, i)
+
+    def cond(st):
+        ip, op, err = st
+        return (ip < comp_len) & (op < out_len) & (err == 0)
+
+    def body(st):
+        ip, op, err = st
+        tag = byte(ip)
+        kind = tag & 3
+        code = tag >> 2
+
+        # ---- operand decode (scalar) ----
+        is_lit = kind == C.TAG_LITERAL
+        extra = jnp.where(is_lit, jnp.clip(code - (C.LITERAL_CODE_1BYTE - 1), 0, 4), 0)
+        hdr = jnp.where(
+            is_lit,
+            1 + extra,
+            jnp.where(kind == C.TAG_COPY1, 2, jnp.where(kind == C.TAG_COPY2, 3, 5)),
+        )
+        over = ip + hdr > comp_len
+        ipc = jnp.minimum(ip, comp_len - 1)  # clamp operand reads
+        b1 = byte(jnp.minimum(ipc + 1, PAD_OUT - 1))
+        b2 = byte(jnp.minimum(ipc + 2, PAD_OUT - 1))
+        b3 = byte(jnp.minimum(ipc + 3, PAD_OUT - 1))
+        b4 = byte(jnp.minimum(ipc + 4, PAD_OUT - 1))
+
+        lit_len = jnp.where(
+            extra == 0,
+            code + 1,
+            jnp.where(
+                extra == 1,
+                b1 + 1,
+                jnp.where(
+                    extra == 2,
+                    (b1 | (b2 << 8)) + 1,
+                    jnp.where(
+                        extra == 3,
+                        (b1 | (b2 << 8) | (b3 << 16)) + 1,
+                        (b1 | (b2 << 8) | (b3 << 16) | ((b4 & 0x3F) << 24)) + 1,
+                    ),
+                ),
+            ),
+        )
+        cp_len = jnp.where(kind == C.TAG_COPY1, (code & 7) + 4, code + 1)
+        dist = jnp.where(
+            kind == C.TAG_COPY1,
+            ((code >> 3) << 8) | b1,
+            jnp.where(kind == C.TAG_COPY2, b1 | (b2 << 8), b1 | (b2 << 8) | (b3 << 16)),
+        )
+        ln = jnp.where(is_lit, lit_len, cp_len)
+
+        bad = over | (op + ln > out_len)
+        bad = bad | (is_lit & (ip + hdr + ln > comp_len))
+        bad = bad | (~is_lit & ((dist < 1) | (dist > op)))
+        # COPY4 offsets above 24 bits cannot be valid in a <=64 KiB block
+        bad = bad | ((kind == C.TAG_COPY4) & (b4 != 0))
+
+        # ---- byte movement (vector pieces) ----
+        def piece_cond(done):
+            return (done < ln) & ~bad
+
+        def piece_body(done):
+            # Copies may self-overlap (dist < len): read at the largest
+            # period multiple that keeps the window behind the write cursor
+            # — piece sizes grow like dist, 2*dist, 4*dist... so even dist=1
+            # replication finishes in <= 7 pieces (byte-forward semantics of
+            # snappy_decompression.c:273-280 in vector chunks).
+            m = done // jnp.maximum(dist, 1) + 1
+            dd = m * jnp.maximum(dist, 1)
+            lp_copy = jnp.minimum(jnp.minimum(ln - done, 64), dd)
+            lp = jnp.where(is_lit, jnp.minimum(ln - done, 64), lp_copy)
+
+            @pl.when(is_lit)
+            def _():
+                _piece_copy(compv_ref, COMP_ROWS, out_ref, ip + hdr + done, op + done, lp)
+
+            @pl.when(~is_lit)
+            def _():
+                _piece_copy(out_ref, OUT_ROWS, out_ref, op + done - dd, op + done, lp)
+
+            return done + lp
+
+        lax.while_loop(piece_cond, piece_body, jnp.int32(0))
+
+        ip2 = ip + hdr + jnp.where(is_lit, ln, 0)
+        return ip2, op + ln, err | bad.astype(jnp.int32)
+
+    ip, op, err = lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+    ok = ((err == 0) & (ip == comp_len) & (op == out_len)).astype(jnp.int32)
+    ok_ref[...] = jnp.full((1, 8, 128), ok, jnp.int32)
+
+
+def _pack_words(u8: jnp.ndarray, ncols: int) -> jnp.ndarray:
+    """(B, 4*ncols) uint8 -> (B, ncols) int32 LE."""
+    b = u8.reshape(u8.shape[0], ncols, 4).astype(jnp.uint32)
+    w = b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16) | (b[..., 3] << 24)
+    return w.astype(jnp.int32)
+
+
+def _unpack_words(w: jnp.ndarray) -> jnp.ndarray:
+    """(B, n) int32 LE -> (B, 4n) uint8."""
+    u = w.astype(jnp.uint32)
+    parts = jnp.stack(
+        [(u >> jnp.uint32(8 * k)) & 0xFF for k in range(4)], axis=-1
+    ).astype(jnp.uint8)
+    return parts.reshape(w.shape[0], w.shape[1] * 4)
+
+
+@jax.jit
+def decode_blocks_vm(comp_u8: jnp.ndarray, comp_lens: jnp.ndarray, out_lens: jnp.ndarray):
+    """Batched block decode on the Pallas VM: (B, PAD_OUT) uint8 + (B,) int32
+    x2 -> ((B, BS) uint8, (B,) bool).  Same contract as
+    decode_jax.decode_blocks."""
+    B = comp_u8.shape[0]
+    comp_w = _pack_words(jnp.asarray(comp_u8), CW)
+    comp_lens = jnp.asarray(comp_lens, jnp.int32)
+    out_lens = jnp.asarray(out_lens, jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((CW,), lambda b, *_: (b,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, COMP_ROWS, 128), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, OUT_ROWS, 128), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+    )
+    out_w, okm = pl.pallas_call(
+        _decode_kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, OUT_ROWS, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B, 8, 128), jnp.int32),
+        ],
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(comp_lens, out_lens, comp_w.reshape(B * CW), comp_w.reshape(B, COMP_ROWS, 128))
+    out = _unpack_words(out_w.reshape(B, OUT_ROWS * 128))
+    ok = okm[:, 0, 0] == 1
+    return out, ok
