@@ -19,8 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from snappytpu.bench import corpus  # noqa: E402
 from snappytpu.format import constants as C  # noqa: E402
-from snappytpu.kernels.decode_jax import decode_blocks  # noqa: E402
-from snappytpu.kernels.encode_jax import encode_blocks  # noqa: E402
+from snappytpu.kernels.decode_vm import decode_blocks_vm as decode_blocks  # noqa: E402
+from snappytpu.kernels.encode_v2 import encode_blocks_v2 as encode_blocks  # noqa: E402
 from snappytpu.stream import framing  # noqa: E402
 
 # reference combined enc+dec MB/s at 1 MB (BASELINE.md)
@@ -40,12 +40,15 @@ def main():
     lens = jax.device_put(jax.numpy.asarray(lens_np))
 
     # --- encode ---
+    # NOTE: on the tunneled TPU runtime, block_until_ready can return before
+    # execution finishes; a scalar device->host fetch is the only honest
+    # completion barrier, so each rep fetches a reduction of its outputs.
     comp, totals = encode_blocks(blocks, lens)  # warmup/compile
-    jax.block_until_ready((comp, totals))
+    _ = int(np.asarray(jax.numpy.sum(totals)))
     t0 = time.perf_counter()
     for _ in range(REPS):
         comp, totals = encode_blocks(blocks, lens)
-    jax.block_until_ready((comp, totals))
+        _ = int(np.asarray(jax.numpy.sum(totals) + jax.numpy.sum(comp[:, ::997].astype(jax.numpy.int32))))
     enc_s = (time.perf_counter() - t0) / REPS
 
     comp_np, totals_np = np.asarray(comp), np.asarray(totals)
@@ -59,11 +62,11 @@ def main():
     pl = jax.device_put(jax.numpy.asarray(totals_np))
     ol = lens
     out, ok = decode_blocks(pc, pl, ol)  # warmup/compile
-    jax.block_until_ready((out, ok))
+    _ = int(np.asarray(jax.numpy.sum(ok.astype(jax.numpy.int32))))
     t0 = time.perf_counter()
     for _ in range(REPS):
         out, ok = decode_blocks(pc, pl, ol)
-    jax.block_until_ready((out, ok))
+        _ = int(np.asarray(jax.numpy.sum(ok.astype(jax.numpy.int32)) + jax.numpy.sum(out[:, ::997].astype(jax.numpy.int32))))
     dec_s = (time.perf_counter() - t0) / REPS
 
     assert bool(np.asarray(ok).all()), "decode flagged corrupt blocks"

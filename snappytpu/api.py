@@ -13,10 +13,14 @@ import numpy as np
 
 from .format import constants as C
 from .format.varint import encode_varint
-from .kernels.pipeline import decode_pipeline as decode_blocks
-from .kernels.pipeline import encode_pipeline as encode_blocks
+from .kernels.decode_vm import decode_blocks_vm as decode_blocks
+from .kernels.encode_v2 import encode_blocks_v2
 from .model.decode import CorruptError
 from .stream import framing
+
+
+def encode_blocks(blocks, lens, profile="dense"):
+    return encode_blocks_v2(blocks, lens, dense=(profile != "fast"))
 
 _MAX_DEVICE_BATCH = 128  # blocks per device call (8 MiB input per call)
 

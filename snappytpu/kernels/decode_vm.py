@@ -57,59 +57,56 @@ def _byte_at(smem, i):
     return (smem[i >> 2] >> ((i & 3) * 8)) & 0xFF
 
 
-def _read_window(buf_ref, byte_off, nrows):
-    """(1, 128) int32: words [byte_off>>2 .. +128) of a packed buffer.
-
-    Reads the two rows covering the window and splices them with lane
-    rotations — the only dynamic addressing Mosaic supports here."""
-    ws = byte_off >> 2
-    row = ws >> 7
-    k = ws & 127
-    a = buf_ref[0, pl.ds(row, 1), :].reshape(1, 128)
-    b = buf_ref[0, pl.ds(jnp.minimum(row + 1, nrows - 1), 1), :].reshape(1, 128)
-    lanes = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    kk = (128 - k) % 128  # pltpu.roll requires non-negative shifts
-    return jnp.where(lanes < 128 - k, pltpu.roll(a, kk, 1), pltpu.roll(b, kk, 1))
-
-
-def _le_funnel(w, sh_bytes):
-    """Byte-align a word window: out[l] = LE word at byte offset 4l+sh."""
-    sh = sh_bytes * 8
-    hi = pltpu.roll(w, 127, 1)
-    u = w.astype(jnp.uint32)
-    uh = hi.astype(jnp.uint32)
-    shifted = (u >> jnp.uint32(sh)) | jnp.where(
-        sh == 0, jnp.uint32(0), uh << jnp.uint32((32 - sh) % 32)
-    )
-    return jnp.where(sh == 0, w, shifted.astype(jnp.int32))
-
-
 def _piece_copy(src_ref, src_rows, out_ref, src, dst, lp):
-    """Copy lp (1..64) bytes from packed buffer src_ref[@src] to the packed
-    out block [@dst].  Vectorized: window read + funnel + rotate + masked
-    row merge; never touches bytes outside [dst, dst+lp)."""
-    w = _read_window(src_ref, src, src_rows)
-    v = _le_funnel(w, src & 3)
-
-    dsh = (dst & 3) * 8
-    uv = v.astype(jnp.uint32)
-    lo = jnp.where(dsh == 0, jnp.uint32(0), pltpu.roll(v, 1, 1).astype(jnp.uint32) >> jnp.uint32((32 - dsh) % 32))
-    u = jnp.where(dsh == 0, v, ((uv << jnp.uint32(dsh)) | lo).astype(jnp.int32))
-    # u[l] holds bytes for dest word (dst>>2)+l; u[0]'s low dsh bits are junk
-
+    """Copy lp (1..504) bytes from packed buffer src_ref[@src] to the packed
+    out block [@dst].  One fused vector chain: the two source rows are lane-
+    rotated straight to the destination lane frame, spliced, byte-funneled by
+    the net phase difference, and merged into the destination rows under a
+    byte mask; never touches bytes outside [dst, dst+lp)."""
+    ws = src >> 2
+    srow = ws >> 7
+    k = ws & 127
+    sb = src & 3
     dw = dst >> 2
     dw_end = (dst + lp + 3) >> 2           # exclusive
     rowd = dw >> 7
     kd = dw & 127
-    p = pltpu.roll(u, kd, 1)
+    db = dst & 3
+
+    a = src_ref[0, pl.ds(srow, 1), :].reshape(1, 128)
+    b = src_ref[0, pl.ds(jnp.minimum(srow + 1, src_rows - 1), 1), :].reshape(1, 128)
+    lanes = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    # rotate source rows directly into the destination lane frame: the word
+    # ws+t lands at lane (kd+t) mod 128
+    rot = (kd - k) & 127
+    pa = pltpu.roll(a, rot, 1)
+    pb = pltpu.roll(b, rot, 1)
+    jm = (lanes - kd) & 127                # t: source word offset per lane
+    w = jnp.where(jm < 128 - k, pa, pb)    # w[lane kd+t] = word ws+t
+
+    # byte funnel by the net phase shift; when the source phase is behind
+    # the dest phase the funnel borrows from the previous source word
+    wp = pltpu.roll(w, 1, 1)               # word ws+t-1
+    wn = pltpu.roll(w, 127, 1)             # word ws+t+1
+    fwd = sb >= db                          # shift right by (sb-db)
+    sh_f = (sb - db) * 8
+    sh_b = (db - sb) * 8
+    uw = w.astype(jnp.uint32)
+    up = wp.astype(jnp.uint32)
+    un = wn.astype(jnp.uint32)
+    v_f = jnp.where(
+        sh_f == 0, w,
+        ((uw >> jnp.uint32(sh_f % 32)) | (un << jnp.uint32((32 - sh_f) % 32))).astype(jnp.int32),
+    )
+    v_b = ((uw << jnp.uint32(sh_b % 32)) | (up >> jnp.uint32((32 - sh_b) % 32))).astype(jnp.int32)
+    u = jnp.where(fwd, v_f, v_b)           # u[lane kd+t] = dest word dw+t
 
     esh = (dst + lp) & 3
-    mask_first = (jnp.uint32(0xFFFFFFFF) << jnp.uint32(dsh)).astype(jnp.int32)
+    mask_first = (jnp.uint32(0xFFFFFFFF) << jnp.uint32(db * 8)).astype(jnp.int32)
     mask_last = jnp.where(
         esh == 0, jnp.int32(-1), ((jnp.uint32(1) << jnp.uint32(esh * 8)) - 1).astype(jnp.int32)
     )
-
-    lanes = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
     def merge_row(r):
         widx = r * 128 + lanes             # global word index per lane
@@ -118,7 +115,7 @@ def _piece_copy(src_ref, src_rows, out_ref, src, dst, lp):
         m = jnp.where(widx == dw, m & mask_first, m)
         m = jnp.where(widx == dw_end - 1, m & mask_last, m)
         d0 = out_ref[0, pl.ds(r, 1), :].reshape(1, 128)
-        out_ref[0, pl.ds(r, 1), :] = ((p & m) | (d0 & ~m)).reshape(1, 128)
+        out_ref[0, pl.ds(r, 1), :] = ((u & m) | (d0 & ~m)).reshape(1, 128)
 
     merge_row(rowd)
 
@@ -143,11 +140,22 @@ def _decode_kernel(comp_lens_ref, out_lens_ref, smem_ref, compv_ref, out_ref, ok
 
     def body(st):
         ip, op, err = st
-        tag = byte(ip)
+        # ---- operand decode: two word reads + funnel give bytes ip..ip+4 ----
+        wi = ip >> 2
+        sh = (ip & 3) * 8
+        w0 = smem_ref[wi]
+        w1 = smem_ref[jnp.minimum(wi + 1, CW - 1)]
+        u0 = jnp.uint32(w0.astype(jnp.uint32))
+        u1 = jnp.uint32(w1.astype(jnp.uint32))
+        v = jnp.where(sh == 0, u0, (u0 >> jnp.uint32(sh)) | (u1 << jnp.uint32((32 - sh) % 32))).astype(jnp.int32)
+        tag = v & 0xFF
+        b1 = (v >> 8) & 0xFF
+        b2 = (v >> 16) & 0xFF
+        b3 = jax.lax.shift_right_logical(v, 24) & 0xFF
+        b4 = jax.lax.shift_right_logical(w1, sh) & 0xFF
+
         kind = tag & 3
         code = tag >> 2
-
-        # ---- operand decode (scalar) ----
         is_lit = kind == C.TAG_LITERAL
         extra = jnp.where(is_lit, jnp.clip(code - (C.LITERAL_CODE_1BYTE - 1), 0, 4), 0)
         hdr = jnp.where(
@@ -155,13 +163,6 @@ def _decode_kernel(comp_lens_ref, out_lens_ref, smem_ref, compv_ref, out_ref, ok
             1 + extra,
             jnp.where(kind == C.TAG_COPY1, 2, jnp.where(kind == C.TAG_COPY2, 3, 5)),
         )
-        over = ip + hdr > comp_len
-        ipc = jnp.minimum(ip, comp_len - 1)  # clamp operand reads
-        b1 = byte(jnp.minimum(ipc + 1, PAD_OUT - 1))
-        b2 = byte(jnp.minimum(ipc + 2, PAD_OUT - 1))
-        b3 = byte(jnp.minimum(ipc + 3, PAD_OUT - 1))
-        b4 = byte(jnp.minimum(ipc + 4, PAD_OUT - 1))
-
         lit_len = jnp.where(
             extra == 0,
             code + 1,
@@ -187,38 +188,44 @@ def _decode_kernel(comp_lens_ref, out_lens_ref, smem_ref, compv_ref, out_ref, ok
         )
         ln = jnp.where(is_lit, lit_len, cp_len)
 
-        bad = over | (op + ln > out_len)
+        bad = (ip + hdr > comp_len) | (op + ln > out_len)
         bad = bad | (is_lit & (ip + hdr + ln > comp_len))
         bad = bad | (~is_lit & ((dist < 1) | (dist > op)))
         # COPY4 offsets above 24 bits cannot be valid in a <=64 KiB block
         bad = bad | ((kind == C.TAG_COPY4) & (b4 != 0))
 
-        # ---- byte movement (vector pieces) ----
-        def piece_cond(done):
-            return (done < ln) & ~bad
+        # ---- byte movement (vector pieces; one branch per op) ----
+        @pl.when(is_lit & ~bad)
+        def _():
+            # literals stream in up to 504-byte pieces (one row-pair window)
+            def lc(done):
+                return done < ln
 
-        def piece_body(done):
-            # Copies may self-overlap (dist < len): read at the largest
+            def lb(done):
+                lp = jnp.minimum(ln - done, 504)
+                _piece_copy(compv_ref, COMP_ROWS, out_ref, ip + hdr + done, op + done, lp)
+                return done + lp
+
+            lax.while_loop(lc, lb, jnp.int32(0))
+
+        @pl.when(~is_lit & ~bad)
+        def _():
+            # copies may self-overlap (dist < len): read at the largest
             # period multiple that keeps the window behind the write cursor
             # — piece sizes grow like dist, 2*dist, 4*dist... so even dist=1
-            # replication finishes in <= 7 pieces (byte-forward semantics of
-            # snappy_decompression.c:273-280 in vector chunks).
-            m = done // jnp.maximum(dist, 1) + 1
-            dd = m * jnp.maximum(dist, 1)
-            lp_copy = jnp.minimum(jnp.minimum(ln - done, 64), dd)
-            lp = jnp.where(is_lit, jnp.minimum(ln - done, 64), lp_copy)
+            # replication finishes in <= 7 pieces (the byte-forward
+            # semantics of snappy_decompression.c:273-280 in vector chunks)
+            def cc(done):
+                return done < ln
 
-            @pl.when(is_lit)
-            def _():
-                _piece_copy(compv_ref, COMP_ROWS, out_ref, ip + hdr + done, op + done, lp)
-
-            @pl.when(~is_lit)
-            def _():
+            def cb(done):
+                m = done // dist + 1
+                dd = m * dist
+                lp = jnp.minimum(jnp.minimum(ln - done, 64), dd)
                 _piece_copy(out_ref, OUT_ROWS, out_ref, op + done - dd, op + done, lp)
+                return done + lp
 
-            return done + lp
-
-        lax.while_loop(piece_cond, piece_body, jnp.int32(0))
+            lax.while_loop(cc, cb, jnp.int32(0))
 
         ip2 = ip + hdr + jnp.where(is_lit, ln, 0)
         return ip2, op + ln, err | bad.astype(jnp.int32)

@@ -172,13 +172,23 @@ def _find_matches(blocks_u8: jnp.ndarray, n: jnp.ndarray, dense: bool = True):
         dist = jnp.where(mlen >= G, pos - bcand, 0)
         return jnp.where(mlen >= G, mlen, 0), dist
 
-    # tier A: 4-gram groups in position order (carried words give exact LCP)
-    sortedA = lax.sort((flag, kws[0], pos) + kws[1:], dimension=1, num_keys=3)
+    def sort_back(spos, blen, bcand):
+        # pack (cand, len) into one payload: len <= LCP_CAP (6 bits)
+        packed = (jnp.maximum(bcand, 0) << 6) | jnp.minimum(blen, 63)
+        packed = jnp.where(bcand >= 0, packed, -1)
+        _, mp = lax.sort((spos, packed), dimension=1, num_keys=1)
+        mlen = jnp.where(mp >= 0, mp & 63, 0)
+        mcand = jnp.where(mp >= 0, mp >> 6, -1)
+        return finish(mlen, mcand)
+
+    # tier A: 4-gram groups in position order; 16-byte LCP from 4 carried
+    # words (nearest occurrences are short-match candidates — the deep-LCP
+    # work is tier B's job)
+    sortedA = lax.sort((flag, kws[0], pos) + kws[1:4], dimension=1, num_keys=3)
     aflag, apos = sortedA[0], sortedA[2]
     aks = (sortedA[1],) + sortedA[3:]
     lenA, candA = _tier_best(aflag, apos, aks, pred_ranks=(1, 2, 3, 4))
-    _, mlenA, mcandA = lax.sort((apos, lenA, candA), dimension=1, num_keys=1)
-    tiers = [finish(mlenA, mcandA)]
+    tiers = [sort_back(apos, lenA, candA)]
 
     if dense:
         # tier B: full-prefix (LCP_CAP bytes) suffix-array adjacency
@@ -188,16 +198,43 @@ def _find_matches(blocks_u8: jnp.ndarray, n: jnp.ndarray, dense: bool = True):
         lenB, candB = _tier_best(
             bflag, bpos, bks, pred_ranks=NEIGHBORS, succ_ranks=NEIGHBORS
         )
-        _, mlenB, mcandB = lax.sort((bpos, lenB, candB), dimension=1, num_keys=1)
-        tiers.append(finish(mlenB, mcandB))
+        tiers.append(sort_back(bpos, lenB, candB))
 
     return tiers
 
 
+def _merge_max(a, b, tie_smaller_second=True):
+    """Elementwise lexicographic max of tuples (first element primary)."""
+    if tie_smaller_second:
+        take_b = (b[0] > a[0]) | ((b[0] == a[0]) & (b[1] < a[1]))
+    else:
+        take_b = (b[0] > a[0]) | ((b[0] == a[0]) & (b[1] > a[1]))
+    return tuple(jnp.where(take_b, y, x) for x, y in zip(a, b))
+
+
+def _anchor_scan(t, op_merge):
+    """Max-scan per-position tuples, evaluated AT ANCHORS only.
+
+    winner(a=4k) = max over s <= 4k — computed as max(scan over 4-wide
+    groups up to k-1, tuple at position 4k).  4x less scan work than the
+    full-resolution tuple scan, bit-identical at the anchors."""
+    B = t[0].shape[0]
+    own = tuple(x[:, ::G] for x in t)
+    gmax = own
+    for j in range(1, G):
+        gmax = op_merge(gmax, tuple(x[:, j::G] for x in t))
+    scan = lax.associative_scan(op_merge, gmax, axis=1)
+    prev = tuple(
+        jnp.concatenate([jnp.full((B, 1), -(BS + 9), jnp.int32) if i == 0
+                         else jnp.zeros((B, 1), x.dtype), x[:, : NA - 1]], axis=1)
+        for i, x in enumerate(scan)
+    )
+    return op_merge(prev, own)
+
+
 def _inherit(tiers, n: jnp.ndarray):
-    """Per-position inherited match (reach, dist, start): a match of length
-    L at s implies a match at every p in (s, s+L) with the same distance;
-    one associative scan of lexicographic-max (s + len, dist, s) triples."""
+    """Per-ANCHOR inherited match (reach, dist, start): a match of length L
+    at s implies a match at every p in (s, s+L) with the same distance."""
     mlen, dist = tiers[0]
     for ml, dd in tiers[1:]:
         better = (ml > mlen) | ((ml == mlen) & (dd < dist))
@@ -206,13 +243,24 @@ def _inherit(tiers, n: jnp.ndarray):
     B = mlen.shape[0]
     pos = _pos(B, BS)
     reach = jnp.where(mlen >= G, pos + mlen, -1)
-
-    def op(a, b):
-        take_b = (b[0] > a[0]) | ((b[0] == a[0]) & (b[1] < a[1]))
-        return tuple(jnp.where(take_b, y, x) for x, y in zip(a, b))
-
-    r, rd, rs = lax.associative_scan(op, (reach, dist, pos), axis=1)
+    r, rd, rs = _anchor_scan((reach, dist, pos), _merge_max)
     return r, rd, rs
+
+
+def _prop_pack(val, start, bits, idx=None):
+    """Segmented forward fill via ONE native cummax: start positions are
+    strictly ascending, so (index << bits) | val is monotone per segment
+    order and a plain cumulative max propagates the latest start's value.
+    Requires val in [0, 2^bits) and index < 2^(31-bits)."""
+    B = val.shape[0]
+    if idx is None:
+        idx = _pos(B, val.shape[1])
+    packed = jnp.where(start, (idx << bits) | val, -1)
+    return lax.cummax(packed, axis=1)
+
+
+def _prop_val(packed, bits):
+    return jnp.where(packed >= 0, packed & ((1 << bits) - 1), 0)
 
 
 def _seg_propagate(val, start):
@@ -254,20 +302,18 @@ def _elect(tiers, inh, n):
     has = mlen >= G
     reach = jnp.where(has, pos + mlen, -1)
     rq = jnp.where(has, reach // _HYST_Q, -1)
-    negs = jnp.where(has, -pos, -(BS + 1))
+    negs = jnp.where(has, -pos, -(BS + 9))
 
-    def op(a, b):
+    def opq(a, b):
         take_b = (b[0] > a[0]) | ((b[0] == a[0]) & (b[1] > a[1]))
         return tuple(jnp.where(take_b, y, x) for x, y in zip(a, b))
 
-    _, negs1, r1, d1 = lax.associative_scan(op, (rq, negs, reach, dist), axis=1)
-    s1 = -negs1
-    r2, d2, s2 = inh
+    _, negs1, r1a, d1a = _anchor_scan((rq, negs, reach, dist), opq)
+    s1a = -negs1
+    r2a, d2a, s2a = inh
 
     a_pos = _pos(B, NA) * G
     n_ok = (a_pos + G) <= n[:, None]
-    r1a, d1a, s1a = r1[:, ::G], d1[:, ::G], s1[:, ::G]
-    r2a, d2a, s2a = r2[:, ::G], d2[:, ::G], s2[:, ::G]
     use1 = (r1a >= a_pos + G) & (d1a >= 1) & (d1a <= a_pos)
     use2 = (r2a >= a_pos + G) & (d2a >= 1) & (d2a <= a_pos)
     is_copy = n_ok & (use1 | use2)
@@ -326,7 +372,6 @@ def _emit(blocks_u8, is_copy, ad, lead, tail, n):
     B = blocks_u8.shape[0]
     pos = _pos(B, BS)
     a_pos = _pos(B, NA) * G
-    aidx = _pos(B, NA)
     rows = jnp.arange(B, dtype=jnp.int32)[:, None]
 
     # ---- run geometry over anchors ----
@@ -337,63 +382,58 @@ def _emit(blocks_u8, is_copy, ad, lead, tail, n):
     nxt_d = jnp.concatenate([ad[:, 1:], jnp.zeros((B, 1), jnp.int32)], axis=1)
     run_end = is_copy & ~(nxt_is & (nxt_d == ad))
 
-    start_byte = jnp.where(run_start, a_pos, 0)
-    start_byte = _seg_propagate(start_byte, run_start)            # per anchor
-    end_byte = _seg_propagate(
-        jnp.where(run_end, a_pos + G, 0)[:, ::-1], run_end[:, ::-1]
-    )[:, ::-1]
+    # All forward fills below ride native cummax: scatter targets are
+    # position-ordered, so (index << bits) | value is monotone and one
+    # cumulative max propagates each latest mark (_prop_pack) — no
+    # associative tuple scans on the hot 64k arrays.
+    rev = lambda x: x[:, ::-1]
 
     # ---- stretch: tails first (into the following literal gap) ----
-    next_start = _seg_propagate(
-        jnp.where(run_start, a_pos, 0)[:, ::-1], run_start[:, ::-1]
-    )[:, ::-1]
-    # at a run end: the next run's start byte, or n
+    next_start_p = rev(_prop_pack(rev(jnp.where(run_start, a_pos, 0)), rev(run_start), 17))
     nxt_exists = jnp.concatenate(
-        [lax.cummax(run_start[:, ::-1].astype(jnp.int32), axis=1)[:, ::-1][:, 1:],
-         jnp.zeros((B, 1), jnp.int32)], axis=1) > 0
+        [next_start_p[:, 1:] >= 0, jnp.zeros((B, 1), jnp.bool_)], axis=1
+    )
     next_start_at_end = jnp.where(
         nxt_exists,
-        jnp.concatenate([next_start[:, 1:], jnp.zeros((B, 1), jnp.int32)], axis=1),
+        jnp.concatenate([_prop_val(next_start_p, 17)[:, 1:], jnp.zeros((B, 1), jnp.int32)], axis=1),
         n[:, None],
     )
     gap_next = jnp.maximum(jnp.minimum(next_start_at_end, n[:, None]) - (a_pos + G), 0)
     tail_fin = jnp.where(run_end, jnp.minimum(tail, gap_next), 0)
 
     # ---- leads second (into what the previous tail left over) ----
-    prev_cover = _seg_propagate(
-        jnp.where(run_end, a_pos + G + tail_fin, 0), run_end
-    )
-    prev_cover = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), prev_cover[:, : NA - 1]], axis=1)
-    prev_any = jnp.concatenate(
-        [jnp.zeros((B, 1), jnp.int32), lax.cummax(run_end.astype(jnp.int32), axis=1)[:, : NA - 1]],
-        axis=1,
-    ) > 0
-    prev_cover = jnp.where(prev_any, prev_cover, 0)
+    pc_p = _prop_pack(jnp.where(run_end, a_pos + G + tail_fin, 0), run_end, 17)
+    pc_p = jnp.concatenate([jnp.full((B, 1), -1, jnp.int32), pc_p[:, : NA - 1]], axis=1)
+    prev_cover = _prop_val(pc_p, 17)
     lead_fin = jnp.where(run_start, jnp.minimum(lead, a_pos - prev_cover), 0)
 
-    # ---- byte-level intervals via scatter + scans ----
+    # ---- byte-level intervals via scatter + cummax fills ----
     ivs = jnp.where(run_start, a_pos - lead_fin, 0)               # interval start byte
     # interval end: tail of THIS run — propagate run_end info back to start
-    ive_at_end = jnp.where(run_end, a_pos + G + tail_fin, 0)
-    ive = _seg_propagate(ive_at_end[:, ::-1], run_end[:, ::-1])[:, ::-1]  # per anchor: end of its run
+    ive_p = rev(_prop_pack(rev(jnp.where(run_end, a_pos + G + tail_fin, 0)), rev(run_end), 17))
+    ive = _prop_val(ive_p, 17)                                    # per anchor: end of its run
 
-    mark = jnp.zeros((B, BS), jnp.bool_).at[rows, jnp.where(run_start, ivs, BS + 7)].set(
-        True, mode="drop"
-    )
-    d_mark = jnp.zeros((B, BS), jnp.int32).at[rows, jnp.where(run_start, ivs, BS + 7)].max(
-        jnp.where(run_start, ad, 0), mode="drop"
-    )
-    e_mark = jnp.zeros((B, BS), jnp.int32).at[rows, jnp.where(run_start, ivs, BS + 7)].max(
-        jnp.where(run_start, ive, 0), mode="drop"
-    )
-    s_mark = jnp.zeros((B, BS), jnp.int32).at[rows, jnp.where(run_start, ivs, BS + 7)].max(
-        jnp.where(run_start, ivs, 0), mode="drop"
-    )
-    d_b = _seg_propagate(d_mark, mark)
-    e_b = _seg_propagate(e_mark, mark)
-    s_b = _seg_propagate(s_mark, mark)
-    started = lax.cummax(mark.astype(jnp.int32), axis=1) > 0
-    covered = started & (pos < e_b)
+    # Three scatter-sets (unique targets) + native cummax fills.  Values are
+    # packed as (run_ordinal << 17) | value: run ordinals are ascending per
+    # block (<= 14 bits), so the packed ints are monotone along the row and
+    # a cumulative max propagates each run's fields to every later byte.
+    # 0-based ordinal: 16384 << 17 would overflow int32, 16383 exactly fits
+    ordn = lax.cumsum(run_start.astype(jnp.int32), axis=1) - 1
+    tgt = jnp.where(run_start, ivs, BS + 7)
+
+    def fill(val17):
+        sc = jnp.full((B, BS), -1, jnp.int32).at[rows, tgt].set(
+            jnp.where(run_start, (ordn << 17) | val17, -1), mode="drop"
+        )
+        return lax.cummax(sc, axis=1)
+
+    s_p = fill(ivs)
+    e_p = fill(ive)
+    d_p = fill(ad)
+    s_b = jnp.where(s_p >= 0, s_p & 0x1FFFF, -1)
+    e_b = e_p & 0x1FFFF
+    d_b = jnp.where(d_p >= 0, d_p & 0x1FFFF, 0)
+    covered = (s_b >= 0) & (pos < e_b)
 
     # ---- op chunking (64s, with the 60-split for remainders 65..67) ----
     q = pos - s_b
@@ -441,33 +481,44 @@ def _emit(blocks_u8, is_copy, ad, lead, tail, n):
         (d_hi << 5) | ((op_len - 4) << 2) | C.TAG_COPY1,
         ((op_len - 1) << 2) | C.TAG_COPY2,
     )
-    s1d = jnp.where(op_start, off, INF)
-    s1v = jnp.where(op_start, b0, 0)
-    s2d = jnp.where(op_start, off + 1, INF)
-    s2v = jnp.where(op_start, d_lo, 0)
-    s3d = jnp.where(op_start & ~two, off + 2, INF)
-    s3v = jnp.where(op_start & ~two, d_hi, 0)
-
     m = rlen - 1
     h0 = jnp.where(
         hdr == 1,
         m << 2,
         jnp.where(hdr == 2, C.LITERAL_CODE_1BYTE << 2, C.LITERAL_CODE_2BYTE << 2),
     )
-    h1d = jnp.where(lstart, off, INF)
-    h1v = jnp.where(lstart, h0, 0)
-    h2d = jnp.where(lstart & (hdr >= 2), off + 1, INF)
-    h2v = jnp.where(lstart & (hdr >= 2), m & 0xFF, 0)
-    h3d = jnp.where(lstart & (hdr >= 3), off + 2, INF)
-    h3v = jnp.where(lstart & (hdr >= 3), m >> 8, 0)
-    pld = jnp.where(lit, off + jnp.where(lstart, hdr, 0), INF)
-    plv = jnp.where(lit, blocks_u8.astype(jnp.int32), 0)
 
-    dests = jnp.concatenate([s1d, s2d, s3d, h1d, h2d, h3d, pld], axis=1)
-    vals = jnp.concatenate([s1v, s2v, s3v, h1v, h2v, h3v, plv], axis=1)
-    sd, sv = lax.sort((dests, vals), dimension=1, num_keys=1)
-    out = sv[:, :PAD_OUT].astype(jnp.uint8)
-    valid = sd[:, :PAD_OUT] < total[:, None]
+    # pack (dest << 8) | byte into ONE int32 so the compaction sort moves a
+    # single operand; dest <= PAD_OUT+8 fits 17 bits.  op-byte and
+    # literal-header slots are position-disjoint (op starts are covered
+    # bytes, literal-run starts are not), so they share three arrays.
+    def pk(cond, d, v):
+        return jnp.where(cond, (d << 8) | v, INF << 8)
+
+    c1 = pk(op_start, off, b0)
+    c1 = jnp.where(lstart, (off << 8) | h0, c1)
+    c2 = pk(op_start, off + 1, d_lo)
+    c2 = jnp.where(lstart & (hdr >= 2), ((off + 1) << 8) | (m & 0xFF), c2)
+    c3 = pk(op_start & ~two, off + 2, d_hi)
+    c3 = jnp.where(lstart & (hdr >= 3), ((off + 2) << 8) | (m >> 8), c3)
+    c4 = pk(lit, off + jnp.where(lstart, hdr, 0), blocks_u8.astype(jnp.int32))
+
+    # Two-stage compaction: one big sort over 4*BS slots costs ~3.3x more
+    # per element than 64k-row sorts (VMEM pressure), so sort each 16k-
+    # position quarter separately (all slot dests are globally monotone
+    # within each array), keep each quarter's worst-case prefix, then
+    # compact the concatenation with one small sort.
+    Q = 4
+    QP = BS // Q                      # input positions per quarter
+    QCAP = QP + QP // 4 + 128         # worst-case emitted bytes per quarter
+    qslots = jnp.stack(
+        [c.reshape(B, Q, QP) for c in (c1, c2, c3, c4)], axis=2
+    ).reshape(B * Q, 4 * QP)
+    (sq,) = lax.sort((qslots,), dimension=1, num_keys=1)
+    head = sq[:, :QCAP].reshape(B, Q * QCAP)
+    (sp,) = lax.sort((head,), dimension=1, num_keys=1)
+    out = (sp[:, :PAD_OUT] & 0xFF).astype(jnp.uint8)
+    valid = (sp[:, :PAD_OUT] >> 8) < total[:, None]
     return jnp.where(valid, out, 0), total
 
 

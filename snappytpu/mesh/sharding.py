@@ -19,8 +19,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..format import constants as C
-from ..kernels.decode_jax import decode_blocks
-from ..kernels.encode_jax import encode_blocks
+from ..kernels.decode_vm import decode_blocks_vm as decode_blocks
+from ..kernels.encode_v2 import encode_blocks_v2 as encode_blocks
 
 AXIS = "blocks"
 
@@ -54,6 +54,8 @@ def sharded_decode(mesh: Mesh):
             mesh=mesh,
             in_specs=(P(AXIS, None), P(AXIS), P(AXIS)),
             out_specs=(P(AXIS, None), P(AXIS)),
+            # pallas_call outputs carry no varying-manifest metadata yet
+            check_vma=False,
         )
     )
 

@@ -31,9 +31,17 @@ def test_device_roundtrip_full(name):
     assert api.decompress(api.compress(data)) == data
 
 
-def test_device_equals_model_compress():
+def test_device_compress_roundtrips_and_is_dense():
+    # the v2 device encoder is a different (sort/scan-native) algorithm
+    # than the numpy model, so bytes differ; the contract is format
+    # validity (model decodes it) and at-least-model density
     data = corpus.mixed(300_000, seed=5)
-    assert api.compress(data) == model_compress(data)
+    comp = api.compress(data)
+    from snappytpu.model import decompress as model_decompress
+    assert model_decompress(comp) == data
+    # density vs the reference C compressor is asserted in test_encode_v2;
+    # here only sanity-check that the stream actually compresses
+    assert len(comp) < len(data)
 
 
 @pytest.mark.parametrize("flag", ["-c", "-b"])

@@ -8,7 +8,7 @@ import pytest
 
 from snappytpu.bench import corpus
 from snappytpu.format import constants as C
-from snappytpu.kernels.encode_jax import encode_blocks
+from snappytpu.kernels.encode_v2 import encode_blocks_v2 as encode_blocks
 from snappytpu.mesh import decode_mesh, encode_mesh, make_mesh
 from snappytpu.stream import framing
 
