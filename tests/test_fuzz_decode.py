@@ -107,3 +107,63 @@ def test_truncations_never_crash():
         n = _native_result(stream[:cut])
         if n is not None and cut > 0:
             assert m[0] == n[0] or m[0] == "reject"
+
+
+# ---- Pallas decode VM differential (see kernels/decode_vm.py) ----
+
+
+def _vm_result(ops: np.ndarray, out_len: int):
+    from snappytpu.kernels.decode_vm import decode_blocks_vm
+
+    if out_len > C.MAX_BLOCK_SIZE or ops.size > C.MAX_COMPRESSED_BLOCK_SIZE:
+        return None
+    padded = np.zeros((1, C.MAX_COMPRESSED_BLOCK_SIZE), np.uint8)
+    padded[0, : ops.size] = ops
+    out, ok = decode_blocks_vm(
+        padded, np.array([ops.size], np.int32), np.array([out_len], np.int32)
+    )
+    if not bool(np.asarray(ok)[0]):
+        return ("reject", None)
+    return ("ok", np.asarray(out)[0, :out_len].tobytes())
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_vm_mutation_differential(seed):
+    """Single-block valid stream, one random byte mutated: the VM and the
+    model decoder must both reject or agree byte-for-byte."""
+    rng = np.random.default_rng(1000 + seed)
+    data = corpus.mixed(int(rng.integers(500, 60000)), seed=seed)
+    comp = model_compress(data)
+    arr = np.frombuffer(comp, np.uint8).copy()
+    out_len, start = framing.read_preamble(arr)
+    idx = int(rng.integers(start, arr.size))
+    arr[idx] ^= int(rng.integers(1, 256))
+    ops = arr[start:]
+
+    try:
+        m = ("ok", decode_ops(ops, out_len).tobytes())
+    except (CorruptError, ValueError):
+        m = ("reject", None)
+    v = _vm_result(ops, out_len)
+    if v is None:
+        return
+    assert v[0] == m[0], f"VM {v[0]} vs model {m[0]}"
+    if v[0] == "ok":
+        assert v[1] == m[1]
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_vm_garbage_ops(seed):
+    """Random op bytes must never produce ok=True unless the model decoder
+    also accepts them (and then with identical bytes)."""
+    rng = np.random.default_rng(2000 + seed)
+    ops = rng.integers(0, 256, int(rng.integers(2, 2000)), dtype=np.uint8)
+    out_len = int(rng.integers(1, 65536))
+    try:
+        m = ("ok", decode_ops(ops, out_len).tobytes())
+    except (CorruptError, ValueError):
+        m = ("reject", None)
+    v = _vm_result(ops, out_len)
+    assert v[0] == m[0]
+    if v[0] == "ok":
+        assert v[1] == m[1]
