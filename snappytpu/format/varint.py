@@ -75,14 +75,7 @@ def encode_varints_np(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         more = rem >= 0x80
         out[:, i] = (rem & np.uint64(0x7F)) | (np.uint64(0x80) * more)
         rem = rem >> np.uint64(7)
-        if i > 0:
-            lengths += (rem > 0) | more  # count bytes beyond the first
+        lengths += more.astype(np.int32)  # one extra byte per continuation
         if not more.any():
             break
-    # Recompute lengths exactly (the loop above is approximate for mixed rows).
-    lengths = np.ones(v.shape[0], dtype=np.int32)
-    rem = v >> np.uint64(7)
-    while (rem > 0).any():
-        lengths += (rem > 0).astype(np.int32)
-        rem = rem >> np.uint64(7)
     return out, lengths

@@ -193,6 +193,9 @@ def _decode_kernel(comp_lens_ref, out_lens_ref, smem_ref, compv_ref, out_ref, ok
         bad = bad | (~is_lit & ((dist < 1) | (dist > op)))
         # COPY4 offsets above 24 bits cannot be valid in a <=64 KiB block
         bad = bad | ((kind == C.TAG_COPY4) & (b4 != 0))
+        # 5-byte literal lengths with bits 30-31 set cannot be valid either:
+        # the masked arithmetic above would silently reinterpret them
+        bad = bad | (is_lit & (extra == 4) & ((b4 & 0xC0) != 0))
 
         # ---- byte movement (vector pieces; one branch per op) ----
         @pl.when(is_lit & ~bad)

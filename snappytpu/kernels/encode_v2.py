@@ -45,8 +45,9 @@ decode VM (decode_vm.py) replicates them natively, so no ACEAPEX-style
 offset flattening is needed.
 
 Wire format: byte-identical Snappy element stream (SURVEY.md §2 format
-contract); every op start is 4-aligned in output space (an invariant the
-fast decoder may exploit, though decode_vm does not require it).
+contract).  Op starts land at arbitrary byte offsets (lead stretching and
+literal-run boundaries are byte-granular) — decoders must not assume any
+alignment of op boundaries.
 """
 
 from __future__ import annotations
