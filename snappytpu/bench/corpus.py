@@ -101,6 +101,23 @@ def size_sweep(seed: int = 0) -> dict[str, bytes]:
     return {f"mixed_{s}": mixed(s, seed=seed + s) for s in sizes}
 
 
+def silesia_standin(target_bytes: int = 200 << 20) -> bytes:
+    """A Silesia-like large real-data benchmark input (BASELINE config 3).
+
+    There is no network access in this environment, so the closest honest
+    stand-in is the real files shipped in the reference checkout (CSV text,
+    PDFs, docx/binary) concatenated and tiled to the target size.  The tile
+    period is several MB — far beyond the 64 KiB match window — so tiling
+    adds no artificial redundancy at codec scale; every block sees only
+    real file bytes."""
+    parts = list(reference_files().values())
+    if not parts:  # no reference checkout: fall back to synthetic mixed
+        return mixed(target_bytes, seed=99)
+    base = b"".join(parts)
+    reps = target_bytes // len(base) + 1
+    return (base * reps)[:target_bytes]
+
+
 def reference_files(limit_bytes: int = 0) -> dict[str, bytes]:
     """Real files from the read-only reference checkout, usable as honest
     benchmark inputs (CSV text + binary PDFs/docx)."""

@@ -57,25 +57,24 @@ def _byte_at(smem, i):
     return (smem[i >> 2] >> ((i & 3) * 8)) & 0xFF
 
 
-def _piece_copy(src_ref, src_rows, out_ref, src, dst, lp):
-    """Copy lp (1..504) bytes from packed buffer src_ref[@src] to the packed
-    out block [@dst].  One fused vector chain: the two source rows are lane-
-    rotated straight to the destination lane frame, spliced, byte-funneled by
-    the net phase difference, and merged into the destination rows under a
-    byte mask; never touches bytes outside [dst, dst+lp)."""
+def _lanes():
+    return lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+
+def _aligned_window(src_ref, src_rows, src, dst, bi=0):
+    """Source bytes starting at src, lane-rotated and byte-funneled into the
+    destination frame: returns u with u[lane kd+t] = dest word dw+t (valid
+    for the bytes covered by the two source rows read)."""
     ws = src >> 2
     srow = ws >> 7
     k = ws & 127
     sb = src & 3
-    dw = dst >> 2
-    dw_end = (dst + lp + 3) >> 2           # exclusive
-    rowd = dw >> 7
-    kd = dw & 127
+    kd = (dst >> 2) & 127
     db = dst & 3
 
-    a = src_ref[0, pl.ds(srow, 1), :].reshape(1, 128)
-    b = src_ref[0, pl.ds(jnp.minimum(srow + 1, src_rows - 1), 1), :].reshape(1, 128)
-    lanes = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    a = src_ref[bi, pl.ds(srow, 1), :].reshape(1, 128)
+    b = src_ref[bi, pl.ds(jnp.minimum(srow + 1, src_rows - 1), 1), :].reshape(1, 128)
+    lanes = _lanes()
 
     # rotate source rows directly into the destination lane frame: the word
     # ws+t lands at lane (kd+t) mod 128
@@ -100,7 +99,19 @@ def _piece_copy(src_ref, src_rows, out_ref, src, dst, lp):
         ((uw >> jnp.uint32(sh_f % 32)) | (un << jnp.uint32((32 - sh_f) % 32))).astype(jnp.int32),
     )
     v_b = ((uw << jnp.uint32(sh_b % 32)) | (up >> jnp.uint32((32 - sh_b) % 32))).astype(jnp.int32)
-    u = jnp.where(fwd, v_f, v_b)           # u[lane kd+t] = dest word dw+t
+    return jnp.where(fwd, v_f, v_b)        # u[lane kd+t] = dest word dw+t
+
+
+def _merge_window(out_ref, u, dst, lp, bi=0, out_rows=None):
+    """Merge the aligned window u into [dst, dst+lp) of the packed out block
+    under a byte mask; never touches bytes outside the range."""
+    if out_rows is None:
+        out_rows = OUT_ROWS
+    dw = dst >> 2
+    dw_end = (dst + lp + 3) >> 2           # exclusive
+    rowd = dw >> 7
+    db = dst & 3
+    lanes = _lanes()
 
     esh = (dst + lp) & 3
     mask_first = (jnp.uint32(0xFFFFFFFF) << jnp.uint32(db * 8)).astype(jnp.int32)
@@ -114,37 +125,95 @@ def _piece_copy(src_ref, src_rows, out_ref, src, dst, lp):
         m = jnp.where(inside, jnp.int32(-1), 0)
         m = jnp.where(widx == dw, m & mask_first, m)
         m = jnp.where(widx == dw_end - 1, m & mask_last, m)
-        d0 = out_ref[0, pl.ds(r, 1), :].reshape(1, 128)
-        out_ref[0, pl.ds(r, 1), :] = ((u & m) | (d0 & ~m)).reshape(1, 128)
+        d0 = out_ref[bi, pl.ds(r, 1), :].reshape(1, 128)
+        out_ref[bi, pl.ds(r, 1), :] = ((u & m) | (d0 & ~m)).reshape(1, 128)
 
     merge_row(rowd)
 
     @pl.when(((dw_end - 1) >> 7) != rowd)
     def _():
-        merge_row(jnp.minimum(rowd + 1, OUT_ROWS - 1))
+        merge_row(jnp.minimum(rowd + 1, out_rows - 1))
 
 
-def _decode_kernel(comp_lens_ref, out_lens_ref, smem_ref, compv_ref, out_ref, ok_ref):
-    b = pl.program_id(0)
-    comp_len = comp_lens_ref[b]
-    out_len = out_lens_ref[b]
+def _piece_copy(src_ref, src_rows, out_ref, src, dst, lp, bi=0, out_rows=None):
+    """Copy lp (1..504) bytes from packed buffer src_ref[bi, @src] to the
+    packed out block [bi, @dst].  One fused vector chain: the two source rows
+    are lane-rotated straight to the destination lane frame, spliced, byte-
+    funneled by the net phase difference, and merged into the destination
+    rows under a byte mask; never touches bytes outside [dst, dst+lp)."""
+    u = _aligned_window(src_ref, src_rows, src, dst, bi=bi)
+    _merge_window(out_ref, u, dst, lp, bi=bi, out_rows=out_rows)
 
-    out_ref[...] = jnp.zeros((1, OUT_ROWS, 128), jnp.int32)
 
-    def byte(i):
-        return _byte_at(smem_ref, i)
+def _pattern_copy(out_ref, dst, lp, dist, bi=0):
+    """Self-overlapping copy with dist in {1, 2, 4}: the replicated pattern
+    has period dividing the word size, so EVERY destination word holds the
+    same value — build it once from the period bytes out[dst-dist, dst) and
+    fill [dst, dst+lp) in one merge instead of O(log(lp/dist)) doubling
+    pieces (run-heavy data decodes ~7x fewer vector chains)."""
+    u = _aligned_window(out_ref, OUT_ROWS, dst - dist, dst, bi=bi)
+    kd = (dst >> 2) & 127
+    db = dst & 3
+    lanes = _lanes()
+    # v = out[dst-dist .. dst-dist+4) — only the first `dist` bytes are
+    # guaranteed written, which is exactly one period
+    u0 = jnp.sum(jnp.where(lanes == kd, u, 0)).astype(jnp.uint32)
+    u1 = jnp.sum(jnp.where(lanes == ((kd + 1) & 127), u, 0)).astype(jnp.uint32)
+    sh = jnp.uint32(db * 8)
+    v = jnp.where(db == 0, u0, (u0 >> sh) | (u1 << (jnp.uint32(32) - sh))).astype(jnp.int32)
+    uv = v.astype(jnp.uint32)
+    # destination word dw's byte j must hold pattern[(j - db) mod dist]
+    p1 = (v & 0xFF) * jnp.int32(0x01010101)
+    base2 = (v & 0xFFFF) * jnp.int32(0x00010001)
+    ub2 = base2.astype(jnp.uint32)
+    p2 = jnp.where((db & 1) == 0, base2, ((ub2 >> 8) | (ub2 << 24)).astype(jnp.int32))
+    p4 = jnp.where(db == 0, v, ((uv << sh) | (uv >> (jnp.uint32(32) - sh))).astype(jnp.int32))
+    pat = jnp.where(dist == 1, p1, jnp.where(dist == 2, p2, p4))
+    _merge_window(out_ref, jnp.zeros((1, 128), jnp.int32) + pat, dst, lp, bi=bi)
 
-    def cond(st):
-        ip, op, err = st
-        return (ip < comp_len) & (op < out_len) & (err == 0)
 
-    def body(st):
-        ip, op, err = st
+def _n_interleave() -> int:
+    """Blocks interpreted concurrently per grid program (scalar-latency
+    ILP).  1 in interpret mode, where the concurrency only multiplies the
+    per-iteration interpretation cost; overridable for tuning via
+    SNAPPYTPU_VM_K."""
+    if _interpret():
+        return 1
+    import os
+
+    return int(os.environ.get("SNAPPYTPU_VM_K", "1"))
+
+
+def _decode_kernel(comp_lens_ref, out_lens_ref, smem_ref, *refs, K):
+    """Sequential interpreter over K blocks per grid program (K=1 default).
+
+    Tuning notes from this target (v5e): the hot loop is VECTOR-ISSUE-
+    THROUGHPUT bound, not scalar-latency bound — interleaving K=4 blocks
+    behind pl.when guards measured ~1.2x SLOWER than K=1 (guard branches
+    serialize), and a fully branchless variant issuing both piece kinds
+    unconditionally measured ~2.6x slower (doubled vector work, still no
+    overlap).  The lever that works is fewer vector ops per piece
+    (_piece_copy).  Blocks use separate refs so K>1 stays available for
+    experiments via SNAPPYTPU_VM_K."""
+    g = pl.program_id(0)
+    compv_refs = refs[:K]
+    out_refs = refs[K : 2 * K]
+    ok_ref = refs[2 * K]
+
+    for k in range(K):
+        out_refs[k][...] = jnp.zeros((1, OUT_ROWS, 128), jnp.int32)
+
+    def step(k, ip, op, err, comp_len, out_len):
+        """One op of block k; returns (ip2, op2, err2)."""
+        compv_ref = compv_refs[k]
+        out_ref = out_refs[k]
+        alive = (ip < comp_len) & (op < out_len) & (err == 0)
+        base = k * CW
         # ---- operand decode: two word reads + funnel give bytes ip..ip+4 ----
         wi = ip >> 2
         sh = (ip & 3) * 8
-        w0 = smem_ref[wi]
-        w1 = smem_ref[jnp.minimum(wi + 1, CW - 1)]
+        w0 = smem_ref[base + wi]
+        w1 = smem_ref[base + jnp.minimum(wi + 1, CW - 1)]
         u0 = jnp.uint32(w0.astype(jnp.uint32))
         u1 = jnp.uint32(w1.astype(jnp.uint32))
         v = jnp.where(sh == 0, u0, (u0 >> jnp.uint32(sh)) | (u1 << jnp.uint32((32 - sh) % 32))).astype(jnp.int32)
@@ -197,8 +266,11 @@ def _decode_kernel(comp_lens_ref, out_lens_ref, smem_ref, compv_ref, out_ref, ok
         # the masked arithmetic above would silently reinterpret them
         bad = bad | (is_lit & (extra == 4) & ((b4 & 0xC0) != 0))
 
-        # ---- byte movement (vector pieces; one branch per op) ----
-        @pl.when(is_lit & ~bad)
+        # ---- byte movement (vector pieces; one branch per op).  The VM is
+        # vector-issue-throughput-bound (a branchless variant issuing both
+        # piece kinds unconditionally measured 2.6x SLOWER), so the guards
+        # stay and the optimization lever is vector ops per piece. ----
+        @pl.when(alive & is_lit & ~bad)
         def _():
             # literals stream in up to 504-byte pieces (one row-pair window)
             def lc(done):
@@ -206,36 +278,77 @@ def _decode_kernel(comp_lens_ref, out_lens_ref, smem_ref, compv_ref, out_ref, ok
 
             def lb(done):
                 lp = jnp.minimum(ln - done, 504)
-                _piece_copy(compv_ref, COMP_ROWS, out_ref, ip + hdr + done, op + done, lp)
+                _piece_copy(compv_ref, COMP_ROWS, out_ref, ip + hdr + done,
+                            op + done, lp, bi=0)
                 return done + lp
 
             lax.while_loop(lc, lb, jnp.int32(0))
 
-        @pl.when(~is_lit & ~bad)
+        @pl.when(alive & ~is_lit & ~bad)
         def _():
-            # copies may self-overlap (dist < len): read at the largest
-            # period multiple that keeps the window behind the write cursor
-            # — piece sizes grow like dist, 2*dist, 4*dist... so even dist=1
-            # replication finishes in <= 7 pieces (the byte-forward
-            # semantics of snappy_decompression.c:273-280 in vector chunks)
-            def cc(done):
-                return done < ln
+            pat_ok = ((dist == 1) | (dist == 2) | (dist == 4)) & (dist < ln)
 
-            def cb(done):
-                m = done // dist + 1
-                dd = m * dist
-                lp = jnp.minimum(jnp.minimum(ln - done, 64), dd)
-                _piece_copy(out_ref, OUT_ROWS, out_ref, op + done - dd, op + done, lp)
-                return done + lp
+            # word-periodic overlap (the run-length shape): one merge
+            @pl.when(pat_ok)
+            def _():
+                _pattern_copy(out_ref, op, ln, dist, bi=0)
 
-            lax.while_loop(cc, cb, jnp.int32(0))
+            # general copies; may self-overlap (dist < len): read at the
+            # largest period multiple that keeps the window behind the write
+            # cursor — piece sizes grow like dist, 2*dist, 4*dist... so
+            # replication finishes in O(log(len/dist)) pieces (the
+            # byte-forward semantics of snappy_decompression.c:273-280 in
+            # vector chunks)
+            @pl.when(~pat_ok)
+            def _():
+                def cc(done):
+                    return done < ln
 
-        ip2 = ip + hdr + jnp.where(is_lit, ln, 0)
-        return ip2, op + ln, err | bad.astype(jnp.int32)
+                def cb(done):
+                    m = done // dist + 1
+                    dd = m * dist
+                    lp = jnp.minimum(jnp.minimum(ln - done, 64), dd)
+                    _piece_copy(out_ref, OUT_ROWS, out_ref, op + done - dd,
+                                op + done, lp, bi=0)
+                    return done + lp
 
-    ip, op, err = lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
-    ok = ((err == 0) & (ip == comp_len) & (op == out_len)).astype(jnp.int32)
-    ok_ref[...] = jnp.full((1, 8, 128), ok, jnp.int32)
+                lax.while_loop(cc, cb, jnp.int32(0))
+
+        ip2 = jnp.where(alive, ip + hdr + jnp.where(is_lit, ln, 0), ip)
+        op2 = jnp.where(alive, op + ln, op)
+        err2 = jnp.where(alive, err | bad.astype(jnp.int32), err)
+        return ip2, op2, err2
+
+    comp_lens = [comp_lens_ref[g * K + k] for k in range(K)]
+    out_lens = [out_lens_ref[g * K + k] for k in range(K)]
+
+    def cond(st):
+        ips, ops, errs = st
+        alive = False
+        for k in range(K):
+            alive = alive | (
+                (ips[k] < comp_lens[k]) & (ops[k] < out_lens[k]) & (errs[k] == 0)
+            )
+        return alive
+
+    def body(st):
+        ips, ops, errs = st
+        nips, nops, nerrs = [], [], []
+        for k in range(K):
+            i2, o2, e2 = step(k, ips[k], ops[k], errs[k], comp_lens[k], out_lens[k])
+            nips.append(i2)
+            nops.append(o2)
+            nerrs.append(e2)
+        return tuple(nips), tuple(nops), tuple(nerrs)
+
+    zeros = tuple(jnp.int32(0) for _ in range(K))
+    ips, ops, errs = lax.while_loop(cond, body, (zeros, zeros, zeros))
+
+    for k in range(K):
+        ok = (
+            (errs[k] == 0) & (ips[k] == comp_lens[k]) & (ops[k] == out_lens[k])
+        ).astype(jnp.int32)
+        ok_ref[k, :, :] = jnp.full((8, 128), ok, jnp.int32)
 
 
 def _pack_words(u8: jnp.ndarray, ncols: int) -> jnp.ndarray:
@@ -258,33 +371,61 @@ def _unpack_words(w: jnp.ndarray) -> jnp.ndarray:
 def decode_blocks_vm(comp_u8: jnp.ndarray, comp_lens: jnp.ndarray, out_lens: jnp.ndarray):
     """Batched block decode on the Pallas VM: (B, PAD_OUT) uint8 + (B,) int32
     x2 -> ((B, BS) uint8, (B,) bool).  Same contract as
-    decode_jax.decode_blocks."""
+    decode_jax.decode_blocks.  Blocks are decoded K per grid program;
+    ragged batches are padded with empty blocks (0-length streams finish
+    immediately and report ok, the pad rows are dropped here)."""
     B = comp_u8.shape[0]
+    K = _n_interleave()
+    BP = ((B + K - 1) // K) * K
     comp_w = _pack_words(jnp.asarray(comp_u8), CW)
     comp_lens = jnp.asarray(comp_lens, jnp.int32)
     out_lens = jnp.asarray(out_lens, jnp.int32)
+    if BP != B:
+        comp_w = jnp.concatenate(
+            [comp_w, jnp.zeros((BP - B, CW), jnp.int32)], axis=0
+        )
+        comp_lens = jnp.concatenate([comp_lens, jnp.zeros(BP - B, jnp.int32)])
+        out_lens = jnp.concatenate([out_lens, jnp.zeros(BP - B, jnp.int32)])
 
+    # per-block deinterleaved VMEM views: block g*K+k lives in array k at
+    # row g, so each interleaved block gets its OWN pallas ref (the
+    # no-alias guarantee the branchless kernel relies on)
+    comp_dei = comp_w.reshape(BP // K, K, COMP_ROWS, 128)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B,),
+        grid=(BP // K,),
         in_specs=[
-            pl.BlockSpec((CW,), lambda b, *_: (b,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, COMP_ROWS, 128), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K * CW,), lambda g, *_: (g,), memory_space=pltpu.SMEM),
+        ]
+        + [
+            pl.BlockSpec((1, COMP_ROWS, 128), lambda g, *_: (g, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(K)
         ],
         out_specs=[
-            pl.BlockSpec((1, OUT_ROWS, 128), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
-        ],
+            pl.BlockSpec((1, OUT_ROWS, 128), lambda g, *_: (g, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(K)
+        ]
+        + [pl.BlockSpec((K, 8, 128), lambda g, *_: (g, 0, 0), memory_space=pltpu.VMEM)],
     )
-    out_w, okm = pl.pallas_call(
-        _decode_kernel,
+    results = pl.pallas_call(
+        functools.partial(_decode_kernel, K=K),
         out_shape=[
-            jax.ShapeDtypeStruct((B, OUT_ROWS, 128), jnp.int32),
-            jax.ShapeDtypeStruct((B, 8, 128), jnp.int32),
-        ],
+            jax.ShapeDtypeStruct((BP // K, OUT_ROWS, 128), jnp.int32)
+            for _ in range(K)
+        ]
+        + [jax.ShapeDtypeStruct((BP, 8, 128), jnp.int32)],
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(comp_lens, out_lens, comp_w.reshape(B * CW), comp_w.reshape(B, COMP_ROWS, 128))
-    out = _unpack_words(out_w.reshape(B, OUT_ROWS * 128))
-    ok = okm[:, 0, 0] == 1
+    )(
+        comp_lens,
+        out_lens,
+        comp_w.reshape(BP * CW),
+        *[comp_dei[:, k] for k in range(K)],
+    )
+    out_parts, okm = results[:K], results[K]
+    out_w = jnp.stack(out_parts, axis=1).reshape(BP, OUT_ROWS, 128)
+    out = _unpack_words(out_w[:B].reshape(B, OUT_ROWS * 128))
+    ok = okm[:B, 0, 0] == 1
     return out, ok

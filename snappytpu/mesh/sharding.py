@@ -41,6 +41,9 @@ def sharded_encode(mesh: Mesh):
             mesh=mesh,
             in_specs=(P(AXIS, None), P(AXIS)),
             out_specs=(P(AXIS, None), P(AXIS)),
+            # the emission concat is a pallas_call; its outputs carry no
+            # varying-manifest metadata yet (same as the decode VM below)
+            check_vma=False,
         )
     )
 
@@ -65,6 +68,16 @@ def _pad_batch(nblocks: int, n_shards: int) -> int:
     return ((nblocks + n_shards - 1) // n_shards) * n_shards
 
 
+def _fetch(x) -> np.ndarray:
+    """Device->host fetch that also works for multi-process global arrays
+    (each host only addresses its own shards; gather the rest over DCN)."""
+    if jax.process_count() > 1 and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def encode_mesh(mesh: Mesh, blocks: np.ndarray, lens: np.ndarray):
     """Encode (B, BS) blocks data-parallel over the mesh.
 
@@ -81,7 +94,7 @@ def encode_mesh(mesh: Mesh, blocks: np.ndarray, lens: np.ndarray):
     bb = jax.device_put(bb, sharding)
     bl = jax.device_put(bl, NamedSharding(mesh, P(AXIS)))
     comp, totals = sharded_encode(mesh)(bb, bl)
-    return np.asarray(comp)[:B], np.asarray(totals)[:B]
+    return _fetch(comp)[:B], _fetch(totals)[:B]
 
 
 def decode_mesh(mesh: Mesh, comp: np.ndarray, comp_lens: np.ndarray, out_lens: np.ndarray):
@@ -98,7 +111,7 @@ def decode_mesh(mesh: Mesh, comp: np.ndarray, comp_lens: np.ndarray, out_lens: n
     pl = jax.device_put(pl, NamedSharding(mesh, P(AXIS)))
     ol = jax.device_put(ol, NamedSharding(mesh, P(AXIS)))
     out, ok = sharded_decode(mesh)(pc, pl, ol)
-    return np.asarray(out)[:B], np.asarray(ok)[:B]
+    return _fetch(out)[:B], _fetch(ok)[:B]
 
 
 def init_distributed():

@@ -167,3 +167,35 @@ def test_vm_garbage_ops(seed):
     assert v[0] == m[0]
     if v[0] == "ok":
         assert v[1] == m[1]
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_vm_mutation_differential_device_streams(seed):
+    """Same mutation differential, but on streams produced by the PRODUCTION
+    device encoder (encode_v2) rather than the model encoder — the fuzzer
+    must exercise the wire shapes the production path actually emits
+    (byte-stretched runs, 60/64 chunking, COPY1/COPY2 mix)."""
+    from snappytpu.kernels.encode_v2 import encode_blocks_v2
+
+    rng = np.random.default_rng(3000 + seed)
+    data = corpus.mixed(int(rng.integers(500, 60000)), seed=seed + 50)
+    arr_in = np.frombuffer(data, dtype=np.uint8)
+    blocks, lens = framing.pack_blocks(arr_in)
+    comp, totals = encode_blocks_v2(blocks, lens)
+    total = int(np.asarray(totals)[0])
+    ops = np.asarray(comp)[0, :total].copy()
+    out_len = int(lens[0])
+
+    idx = int(rng.integers(0, ops.size))
+    ops[idx] ^= int(rng.integers(1, 256))
+
+    try:
+        m = ("ok", decode_ops(ops, out_len).tobytes())
+    except (CorruptError, ValueError):
+        m = ("reject", None)
+    v = _vm_result(ops, out_len)
+    if v is None:
+        return
+    assert v[0] == m[0], f"VM {v[0]} vs model {m[0]}"
+    if v[0] == "ok":
+        assert v[1] == m[1]
