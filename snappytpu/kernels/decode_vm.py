@@ -61,10 +61,15 @@ def _lanes():
     return lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
 
-def _aligned_window(src_ref, src_rows, src, dst, bi=0):
+def _aligned_window(src_ref, src_rows, src, dst, bi=0, lp=None):
     """Source bytes starting at src, lane-rotated and byte-funneled into the
     destination frame: returns u with u[lane kd+t] = dest word dw+t (valid
-    for the bytes covered by the two source rows read)."""
+    for the bytes covered by the source rows read).
+
+    When lp (the piece length) is given and the needed source words plus the
+    funnel neighbor all sit in one 512 B row — the overwhelmingly common
+    case for <=64 B ops — the second row read and the splice select are
+    skipped behind one scalar branch."""
     ws = src >> 2
     srow = ws >> 7
     k = ws & 127
@@ -73,16 +78,30 @@ def _aligned_window(src_ref, src_rows, src, dst, bi=0):
     db = dst & 3
 
     a = src_ref[bi, pl.ds(srow, 1), :].reshape(1, 128)
-    b = src_ref[bi, pl.ds(jnp.minimum(srow + 1, src_rows - 1), 1), :].reshape(1, 128)
     lanes = _lanes()
 
     # rotate source rows directly into the destination lane frame: the word
     # ws+t lands at lane (kd+t) mod 128
     rot = (kd - k) & 127
     pa = pltpu.roll(a, rot, 1)
-    pb = pltpu.roll(b, rot, 1)
     jm = (lanes - kd) & 127                # t: source word offset per lane
-    w = jnp.where(jm < 128 - k, pa, pb)    # w[lane kd+t] = word ws+t
+
+    import os
+
+    if lp is not None and os.environ.get("SNAPPYTPU_VM_ONEROW", "1") == "1":
+        # one row covers words ws .. ws+nw (incl. the funnel's +1 neighbor)?
+        one_row = k + ((sb + lp - 1) >> 2) + 1 <= 127
+
+        def splice(_):
+            b = src_ref[bi, pl.ds(jnp.minimum(srow + 1, src_rows - 1), 1), :].reshape(1, 128)
+            pb = pltpu.roll(b, rot, 1)
+            return jnp.where(jm < 128 - k, pa, pb)
+
+        w = lax.cond(one_row, lambda _: pa, splice, 0)
+    else:
+        b = src_ref[bi, pl.ds(jnp.minimum(srow + 1, src_rows - 1), 1), :].reshape(1, 128)
+        pb = pltpu.roll(b, rot, 1)
+        w = jnp.where(jm < 128 - k, pa, pb)    # w[lane kd+t] = word ws+t
 
     # byte funnel by the net phase shift; when the source phase is behind
     # the dest phase the funnel borrows from the previous source word
@@ -141,7 +160,7 @@ def _piece_copy(src_ref, src_rows, out_ref, src, dst, lp, bi=0, out_rows=None):
     are lane-rotated straight to the destination lane frame, spliced, byte-
     funneled by the net phase difference, and merged into the destination
     rows under a byte mask; never touches bytes outside [dst, dst+lp)."""
-    u = _aligned_window(src_ref, src_rows, src, dst, bi=bi)
+    u = _aligned_window(src_ref, src_rows, src, dst, bi=bi, lp=lp)
     _merge_window(out_ref, u, dst, lp, bi=bi, out_rows=out_rows)
 
 
@@ -269,20 +288,27 @@ def _decode_kernel(comp_lens_ref, out_lens_ref, smem_ref, *refs, K):
         # ---- byte movement (vector pieces; one branch per op).  The VM is
         # vector-issue-throughput-bound (a branchless variant issuing both
         # piece kinds unconditionally measured 2.6x SLOWER), so the guards
-        # stay and the optimization lever is vector ops per piece. ----
+        # stay and the optimization levers are vector ops per piece and
+        # loop overhead: the overwhelmingly common single-piece case is
+        # hoisted out of the remainder while_loops. ----
         @pl.when(alive & is_lit & ~bad)
         def _():
             # literals stream in up to 504-byte pieces (one row-pair window)
-            def lc(done):
-                return done < ln
+            lp1 = jnp.minimum(ln, 504)
+            _piece_copy(compv_ref, COMP_ROWS, out_ref, ip + hdr, op, lp1, bi=0)
 
-            def lb(done):
-                lp = jnp.minimum(ln - done, 504)
-                _piece_copy(compv_ref, COMP_ROWS, out_ref, ip + hdr + done,
-                            op + done, lp, bi=0)
-                return done + lp
+            @pl.when(ln > 504)
+            def _():
+                def lc(done):
+                    return done < ln
 
-            lax.while_loop(lc, lb, jnp.int32(0))
+                def lb(done):
+                    lp = jnp.minimum(ln - done, 504)
+                    _piece_copy(compv_ref, COMP_ROWS, out_ref, ip + hdr + done,
+                                op + done, lp, bi=0)
+                    return done + lp
+
+                lax.while_loop(lc, lb, jnp.int32(504))
 
         @pl.when(alive & ~is_lit & ~bad)
         def _():
@@ -298,21 +324,27 @@ def _decode_kernel(comp_lens_ref, out_lens_ref, smem_ref, *refs, K):
             # cursor — piece sizes grow like dist, 2*dist, 4*dist... so
             # replication finishes in O(log(len/dist)) pieces (the
             # byte-forward semantics of snappy_decompression.c:273-280 in
-            # vector chunks)
+            # vector chunks).  Non-overlapping copies (dist >= len, the
+            # common case) finish in the hoisted first piece.
             @pl.when(~pat_ok)
             def _():
-                def cc(done):
-                    return done < ln
+                lp1 = jnp.minimum(jnp.minimum(ln, 64), dist)
+                _piece_copy(out_ref, OUT_ROWS, out_ref, op - dist, op, lp1, bi=0)
 
-                def cb(done):
-                    m = done // dist + 1
-                    dd = m * dist
-                    lp = jnp.minimum(jnp.minimum(ln - done, 64), dd)
-                    _piece_copy(out_ref, OUT_ROWS, out_ref, op + done - dd,
-                                op + done, lp, bi=0)
-                    return done + lp
+                @pl.when(lp1 < ln)
+                def _():
+                    def cc(done):
+                        return done < ln
 
-                lax.while_loop(cc, cb, jnp.int32(0))
+                    def cb(done):
+                        m = done // dist + 1
+                        dd = m * dist
+                        lp = jnp.minimum(jnp.minimum(ln - done, 64), dd)
+                        _piece_copy(out_ref, OUT_ROWS, out_ref, op + done - dd,
+                                    op + done, lp, bi=0)
+                        return done + lp
+
+                    lax.while_loop(cc, cb, lp1)
 
         ip2 = jnp.where(alive, ip + hdr + jnp.where(is_lit, ln, 0), ip)
         op2 = jnp.where(alive, op + ln, op)
@@ -336,6 +368,9 @@ def _decode_kernel(comp_lens_ref, out_lens_ref, smem_ref, *refs, K):
         nips, nops, nerrs = [], [], []
         for k in range(K):
             i2, o2, e2 = step(k, ips[k], ops[k], errs[k], comp_lens[k], out_lens[k])
+            # second op per iteration: halves the outer-loop condition and
+            # branch overhead; step() self-guards when the block finished
+            i2, o2, e2 = step(k, i2, o2, e2, comp_lens[k], out_lens[k])
             nips.append(i2)
             nops.append(o2)
             nerrs.append(e2)

@@ -108,16 +108,16 @@ def _word_lcp(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
 
 
 def _shifted(a, sh, fill):
-    B = a.shape[0]
-    return jnp.concatenate([jnp.full((B, sh), fill, a.dtype), a[:, : BS - sh]], axis=1)
+    B, W = a.shape
+    return jnp.concatenate([jnp.full((B, sh), fill, a.dtype), a[:, : W - sh]], axis=1)
 
 
 def _neighbor_lcp(ks, sh: int):
     """LCP (<= 4*len(ks) bytes) between each sorted slot and the slot `sh`
     earlier, from the carried 4-byte words; pure shift-and-compare."""
-    B = ks[0].shape[0]
-    lcp = jnp.zeros((B, BS), jnp.int32)
-    alive = jnp.ones((B, BS), jnp.bool_)
+    B, W = ks[0].shape
+    lcp = jnp.zeros((B, W), jnp.int32)
+    alive = jnp.ones((B, W), jnp.bool_)
     for kw in ks:
         wl = _word_lcp(kw, _shifted(kw, sh, 0))
         lcp = lcp + jnp.where(alive, wl, 0)
@@ -131,9 +131,9 @@ def _tier_best(sflag, spos, ks, pred_ranks, succ_ranks=()):
     Works for any sort order; LCP is exact from the carried words, so
     there are no hash collisions to verify (the property the reference's BST
     variant exists for, snappy_compression_tree.c:11-24)."""
-    B = sflag.shape[0]
-    best_len = jnp.zeros((B, BS), jnp.int32)
-    best_cand = jnp.full((B, BS), -1, jnp.int32)
+    B, W = sflag.shape
+    best_len = jnp.zeros((B, W), jnp.int32)
+    best_cand = jnp.full((B, W), -1, jnp.int32)
 
     def consider(cpos, cflag, clcp):
         nonlocal best_len, best_cand
@@ -203,19 +203,19 @@ def _find_matches(blocks_u8: jnp.ndarray, n: jnp.ndarray, dense: bool = True):
     kws = tuple(_shift_words(w, 4 * j) if j else w for j in range(KW))
     flag = (pos > (n - G)[:, None]).astype(jnp.uint32)
 
-    def finish(blen, bcand):
-        mlen = jnp.minimum(blen, jnp.maximum(n[:, None] - pos, 0))
-        dist = jnp.where(mlen >= G, pos - bcand, 0)
+    def finish(blen, bcand, pos_sub):
+        mlen = jnp.minimum(blen, jnp.maximum(n[:, None] - pos_sub, 0))
+        dist = jnp.where(mlen >= G, pos_sub - bcand, 0)
         return jnp.where(mlen >= G, mlen, 0), dist
 
-    def sort_back(spos, blen, bcand):
+    def sort_back(spos, blen, bcand, pos_sub):
         # pack (cand, len) into one payload: len <= LCP_CAP (7 bits)
         packed = (jnp.maximum(bcand, 0) << 7) | jnp.minimum(blen, 127)
         packed = jnp.where(bcand >= 0, packed, -1)
         _, mp = lax.sort((spos, packed), dimension=1, num_keys=1)
         mlen = jnp.where(mp >= 0, mp & 127, 0)
         mcand = jnp.where(mp >= 0, mp >> 7, -1)
-        return finish(mlen, mcand)
+        return finish(mlen, mcand, pos_sub)
 
     # tier A: 4-gram groups in position order; 16-byte LCP from 4 carried
     # words (nearest occurrences are short-match candidates — the deep-LCP
@@ -227,36 +227,54 @@ def _find_matches(blocks_u8: jnp.ndarray, n: jnp.ndarray, dense: bool = True):
     aflag, apos = sortedA[0], sortedA[2]
     aks = (sortedA[1],) + sortedA[3:]
     lenA, candA = _tier_best(aflag, apos, aks, pred_ranks=(1, 2, 3, 4))
-    tiers = [sort_back(apos, lenA, candA)]
+    tiers = [sort_back(apos, lenA, candA, pos)]
 
-    if dense:
-        # tier B: deep suffix adjacency from SAMPLED key words — the sort
-        # orders by bytes [0:8), [16:20), [32:36), [48:52), [60:64) of each
-        # suffix (ties position-ordered by stability), approximating the
-        # 64-byte suffix order at 7-key cost instead of 17.  Key DEPTH matters on
-        # repetitive data: an 8-byte-key variant loses the cross-run far
-        # matches that cover run transitions (~6% worse on low-entropy
-        # runs); sampling keeps that reach because long-run prefixes
-        # already differ in the sampled words.  Candidate LCP stays exact
-        # to LCP_CAP bytes via all carried words.
-        key_ids = (0, 1, 4, 8, 12, 15)
-        rest = tuple(kws[j] for j in range(KW) if j not in key_ids)
-        sortedB = lax.sort(
-            (flag,) + tuple(kws[j] for j in key_ids) + (pos,) + rest,
-            dimension=1,
-            num_keys=1 + len(key_ids),
-        )
-        bflag, bpos = sortedB[0], sortedB[1 + len(key_ids)]
-        # reassemble carried words in kws order for the exact-LCP compare
-        by_id = dict(zip(key_ids, sortedB[1 : 1 + len(key_ids)]))
-        rest_it = iter(sortedB[2 + len(key_ids) :])
-        bks = tuple(
-            by_id[j] if j in key_ids else next(rest_it) for j in range(KW)
-        )
-        lenB, candB = _tier_best(
-            bflag, bpos, bks, pred_ranks=NEIGHBORS, succ_ranks=NEIGHBORS
-        )
-        tiers.append(sort_back(bpos, lenB, candB))
+    # tier B: deep suffix adjacency from SAMPLED key words — the sort
+    # orders by bytes [0:8), [16:20), [32:36), [48:52), [60:64) of each
+    # suffix (ties position-ordered by stability), approximating the
+    # 64-byte suffix order at 7-key cost instead of 17.  Key DEPTH
+    # matters on repetitive data: an 8-byte-key variant loses the
+    # cross-run far matches that cover run transitions (~6% worse on
+    # low-entropy runs); sampling keeps that reach because long-run
+    # prefixes already differ in the sampled words.  Candidate LCP
+    # stays exact to LCP_CAP bytes via all carried words.
+    #
+    # dense: byte resolution (the strict <=-reference size contract needs
+    # it — a stride-2 variant measured ~35 ms cheaper but gave back the
+    # low-entropy win).  fast: STRIDE 4 — long matches starting off-stride
+    # are found <=3 bytes later with their lead restored by the
+    # same-distance chain, at ~1/5 the sort volume.
+    stride = 1 if dense else 4
+    sub = (lambda x: x) if stride == 1 else (lambda x: x[:, ::stride])
+    key_ids = (0, 1, 4, 8, 12, 15)
+    rest_ids = tuple(j for j in range(KW) if j not in key_ids)
+    sortedB = lax.sort(
+        (sub(flag),)
+        + tuple(sub(kws[j]) for j in key_ids)
+        + (sub(pos),)
+        + tuple(sub(kws[j]) for j in rest_ids),
+        dimension=1,
+        num_keys=1 + len(key_ids),
+    )
+    bflag, bpos = sortedB[0], sortedB[1 + len(key_ids)]
+    # reassemble carried words in kws order for the exact-LCP compare
+    by_id = dict(zip(key_ids, sortedB[1 : 1 + len(key_ids)]))
+    rest_it = iter(sortedB[2 + len(key_ids) :])
+    bks = tuple(
+        by_id[j] if j in key_ids else next(rest_it) for j in range(KW)
+    )
+    lenB, candB = _tier_best(
+        bflag, bpos, bks, pred_ranks=NEIGHBORS, succ_ranks=NEIGHBORS
+    )
+    mlenB, distB = sort_back(bpos, lenB, candB, sub(pos))
+    if stride > 1:
+        # interleave back to byte resolution (off-stride: no tier-B match)
+        z = jnp.zeros((B, BS // stride, stride - 1), jnp.int32)
+        expand = lambda x: jnp.concatenate(
+            [x[:, :, None], z], axis=2
+        ).reshape(B, BS)
+        mlenB, distB = expand(mlenB), expand(distB)
+    tiers.append((mlenB, distB))
 
     tiers.extend(_run_tier(blocks_u8, n))
     return tiers

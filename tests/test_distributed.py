@@ -32,10 +32,15 @@ def _free_port() -> int:
 @pytest.mark.slow
 def test_two_process_mesh_encode_matches_single_process(tmp_path):
     port = _free_port()
+    # scrub every TPU-plugin hook from the workers' env: the sandbox injects
+    # an axon PJRT plugin via PYTHONPATH sitecustomize, and its presence
+    # breaks multi-process CPU jax.distributed (process_count stays 1)
+    drop_exact = ("JAX_PLATFORMS", "XLA_FLAGS", "PYTHONPATH")
+    drop_prefix = ("AXON_", "PALLAS_AXON", "TPU_")
     env = {
         k: v
         for k, v in os.environ.items()
-        if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
+        if k not in drop_exact and not k.startswith(drop_prefix)
     }
     procs = [
         subprocess.Popen(
