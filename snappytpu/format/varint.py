@@ -10,7 +10,6 @@ supported and validated.
 
 from __future__ import annotations
 
-import numpy as np
 
 _MAX_VARINT64_LEN = 10
 
@@ -59,23 +58,3 @@ def varint_len(n: int) -> int:
         n >>= 7
         length += 1
     return length
-
-
-def encode_varints_np(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized varint encode of an int64 array.
-
-    Returns (bytes_matrix[N, 10] uint8, lengths[N] int32): row i holds the
-    encoding of values[i] left-justified.  Used for batched per-block framing.
-    """
-    v = np.asarray(values, dtype=np.uint64)
-    out = np.zeros((v.shape[0], _MAX_VARINT64_LEN), dtype=np.uint8)
-    lengths = np.ones(v.shape[0], dtype=np.int32)
-    rem = v.copy()
-    for i in range(_MAX_VARINT64_LEN):
-        more = rem >= 0x80
-        out[:, i] = (rem & np.uint64(0x7F)) | (np.uint64(0x80) * more)
-        rem = rem >> np.uint64(7)
-        lengths += more.astype(np.int32)  # one extra byte per continuation
-        if not more.any():
-            break
-    return out, lengths

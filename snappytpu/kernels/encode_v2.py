@@ -239,14 +239,15 @@ def _find_matches(blocks_u8: jnp.ndarray, n: jnp.ndarray, dense: bool = True):
     # prefixes already differ in the sampled words.  Candidate LCP
     # stays exact to LCP_CAP bytes via all carried words.
     #
-    # dense: byte resolution (the strict <=-reference size contract needs
-    # it — a stride-2 variant measured ~35 ms cheaper but gave back the
-    # low-entropy win).  fast: STRIDE 4 — long matches starting off-stride
-    # are found <=3 bytes later with their lead restored by the
-    # same-distance chain, at ~1/5 the sort volume.
+    # dense: byte resolution and FULL key depth (the strict <=-reference
+    # size contract needs both — sampled keys or stride 2 each measured a
+    # few dozen bytes worse on one fixture).  fast: sampled keys at
+    # STRIDE 4 — long matches starting off-stride are found <=3 bytes
+    # later with their lead restored by the same-distance chain, at ~1/5
+    # the sort volume.
     stride = 1 if dense else 4
     sub = (lambda x: x) if stride == 1 else (lambda x: x[:, ::stride])
-    key_ids = (0, 1, 4, 8, 12, 15)
+    key_ids = tuple(range(KW)) if dense else (0, 1, 4, 8, 12, 15)
     rest_ids = tuple(j for j in range(KW) if j not in key_ids)
     sortedB = lax.sort(
         (sub(flag),)

@@ -93,19 +93,15 @@ def spec_matches(block: np.ndarray, n: int, dense: bool = True):
     mlen, dist = clip(rawA, distA)
 
     if dense:
-        # tier B: SAMPLED-suffix sort order — bytes [0:8), [16:20), [32:36),
-        # [48:52), [60:64) of each zero-padded suffix (ties position-
-        # ordered), ranks 1..2 both directions; candidate LCP is still
-        # exact to LCP_CAP bytes.  Matches the device's sampled key words
-        # (w0,w1,w4,w8,w12,w15).
+        # tier B (dense): full-LCP_CAP-prefix sort order (ties position-
+        # ordered by sort stability), ranks 1..2 both directions; candidate
+        # LCP exact to LCP_CAP bytes.  (The fast profile instead samples
+        # key words at stride 4 — not modeled here; the spec covers the
+        # dense contract profile.)
         rawB = np.zeros(BS, np.int32)
         distB = np.zeros(BS, np.int32)
         valid = [p for p in range(BS) if p <= n - G]
-        def _bkey(p):
-            s8 = bytes(padded[p : p + 8])
-            return (s8 + bytes(padded[p + 16 : p + 20]) + bytes(padded[p + 32 : p + 36])
-                    + bytes(padded[p + 48 : p + 52]) + bytes(padded[p + 60 : p + 64]))
-        keys = {p: _bkey(p) for p in valid}
+        keys = {p: bytes(padded[p : p + LCP_CAP]) for p in valid}
         order = sorted(valid, key=lambda p: (keys[p], p))
         for i, p in enumerate(order):
             for j in (i - 2, i - 1, i + 1, i + 2):
