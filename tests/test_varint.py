@@ -7,7 +7,6 @@ import pytest
 from snappytpu.format.varint import (
     decode_varint,
     encode_varint,
-    encode_varints_np,
     varint_len,
 )
 
@@ -53,8 +52,7 @@ def test_truncated_raises():
         decode_varint(b"")
 
 
-def test_vectorized_matches_scalar():
+def test_length_table_matches_encoding():
     values = np.array([0, 1, 127, 128, 227, 16384, 2**20, 2**33], dtype=np.int64)
-    mat, lens = encode_varints_np(values)
-    for i, v in enumerate(values):
-        assert mat[i, : lens[i]].tobytes() == encode_varint(int(v))
+    for v in values:
+        assert varint_len(int(v)) == len(encode_varint(int(v)))

@@ -1,0 +1,65 @@
+"""Decode-only stage profile: times decode_blocks_vm on pre-encoded batches
+of each corpus shape (mixed / text / runs / random), honest queued-dispatch
+protocol (see tools/stage_profile.py)."""
+import os, sys, time
+import numpy as np
+import jax, jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from snappytpu.bench import corpus
+from snappytpu.format import constants as C
+from snappytpu.stream import framing
+from snappytpu.kernels import encode_v2 as E
+from snappytpu.kernels import decode_vm as V
+
+t0 = time.time()
+def log(m): print(f"[{time.time()-t0:6.1f}s] {m}", flush=True)
+
+B = 128
+NQ = 4
+WHICH = os.environ.get("SNAPPYTPU_DEC_CORPUS", "mixed,text").split(",")
+log(f"backend {jax.default_backend()}")
+
+makers = {
+    "mixed": corpus.mixed,
+    "text": getattr(corpus, "text", None),
+    "runs": getattr(corpus, "runs", None),
+    "random": getattr(corpus, "random_bytes", None),
+}
+
+enc = jax.jit(lambda b, n: E.encode_block_core(b, n, True))
+
+def prof(name, argsets, reps=3):
+    g = jax.jit(lambda c, t, l: [jnp.sum(x[..., ::997].astype(jnp.int32))
+                                 for x in jax.tree.leaves(V.decode_blocks_vm(c, t, l))])
+    outs = [g(*a) for a in argsets]
+    _ = [int(np.asarray(r[0])) for r in outs]
+    best = 1e9
+    for _ in range(reps):
+        t1 = time.perf_counter()
+        outs = [g(*a) for a in argsets]
+        _ = [int(np.asarray(r[0])) for r in outs]
+        best = min(best, (time.perf_counter() - t1) / len(argsets))
+    mbs = B * 64 * 1024 / 1e6 / best
+    log(f"decode {name:8s} {best*1000:8.2f} ms/batch  {mbs:7.1f} MB/s")
+    return best
+
+for which in WHICH:
+    mk = makers.get(which)
+    if mk is None:
+        log(f"skip {which} (no corpus fn)")
+        continue
+    sets = []
+    for q in range(NQ):
+        data = np.frombuffer(mk(B * C.MAX_BLOCK_SIZE, seed=300 + q), np.uint8)
+        blocks_np, lens_np = framing.pack_blocks(data)
+        bl = jax.device_put(jnp.asarray(blocks_np[:B]))
+        ll = jax.device_put(jnp.asarray(lens_np[:B], jnp.int32))
+        comp, totals = enc(bl, ll)
+        comp_np, totals_np = np.asarray(comp), np.asarray(totals)
+        sets.append((jax.device_put(jnp.asarray(comp_np)),
+                     jax.device_put(jnp.asarray(totals_np)), ll))
+    _ = int(np.asarray(jnp.sum(sets[-1][0][..., ::997].astype(jnp.int32))))
+    log(f"{which}: staged")
+    prof(which, sets)
+log("DONE")
