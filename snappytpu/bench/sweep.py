@@ -56,24 +56,33 @@ def _mesh_codec(profile: str):
 
     mesh = sharding.make_mesh()
 
+    def _compact(rows: np.ndarray, lens: np.ndarray) -> bytes:
+        if cpu.available:
+            return cpu.compact(rows, lens)
+        return b"".join(rows[i, : int(lens[i])].tobytes() for i in range(rows.shape[0]))
+
     def compress(data: bytes) -> bytes:
         arr = np.frombuffer(data, np.uint8)
         blocks, lens = framing.pack_blocks(arr)
         comp, totals = sharding.encode_mesh(mesh, blocks, lens)
-        return encode_varint(arr.size) + cpu.compact(comp, totals)
+        return encode_varint(arr.size) + _compact(np.asarray(comp), np.asarray(totals))
 
     def decompress(stream: bytes) -> bytes:
         arr = np.frombuffer(stream, np.uint8)
         out_len, start = framing.read_preamble(arr)
-        offs, out_lens = cpu.scan_ops(arr[start:], out_len)
-        padded, comp_lens = cpu.split_rows(
-            arr[start:], offs, C.MAX_COMPRESSED_BLOCK_SIZE
-        )
-        out, ok = sharding.decode_mesh(
-            mesh, padded, comp_lens, out_lens.astype(np.int32)
-        )
+        if cpu.available:
+            offs, out_lens = cpu.scan_ops(arr[start:], out_len)
+            padded, comp_lens = cpu.split_rows(
+                arr[start:], offs, C.MAX_COMPRESSED_BLOCK_SIZE
+            )
+            out_lens = out_lens.astype(np.int32)
+        else:
+            chunks, out_lens_list = framing.split_ops_stream(arr[start:], out_len)
+            padded, comp_lens = framing.pad_chunks(chunks)
+            out_lens = np.asarray(out_lens_list, np.int32)
+        out, ok = sharding.decode_mesh(mesh, padded, comp_lens, out_lens)
         assert ok.all()
-        return cpu.compact(out, out_lens.astype(np.int32))
+        return _compact(np.asarray(out), out_lens)
 
     return compress, decompress, mesh.devices.size
 

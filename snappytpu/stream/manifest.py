@@ -57,10 +57,12 @@ def encode_shard(data: np.ndarray, out_dir: str, shard_id: int, n_shards: int,
             return m  # already done — idempotent restart
 
     if encode_fn is None:
-        from ..kernels.pipeline import encode_pipeline
+        # the production encoder (same bytes as api.compress / encode_mesh):
+        # shards assembled from manifests must equal the single-host stream
+        from ..kernels.encode_v2 import encode_blocks_v2
 
         def encode_fn(blocks, lens):
-            comp, totals = encode_pipeline(blocks, lens)
+            comp, totals = encode_blocks_v2(blocks, lens)
             return np.asarray(comp), np.asarray(totals)
 
     from . import framing

@@ -66,3 +66,19 @@ def test_missing_shard_detected(tmp_path):
     mp = tmp_path / "shard_00000.json"
     mp.write_text(json.dumps({"complete": False}))
     assert 0 in manifest.missing_shards(str(tmp_path), 3)
+
+
+def test_default_encoder_matches_api_compress(tmp_path):
+    """The default (production) shard encoder yields the SAME bytes as
+    api.compress: a manifest-assembled multi-shard stream must be
+    byte-identical to the single-host stream (one production encoder
+    everywhere, SURVEY.md §5.4/§5.8)."""
+    from snappytpu import api
+
+    data = np.frombuffer(corpus.mixed(4 * 65536 + 777, seed=77), np.uint8)
+    n_shards = 2
+    for s in range(n_shards):
+        manifest.encode_shard(data, str(tmp_path), s, n_shards)  # default fn
+    out = tmp_path / "full.snappy"
+    manifest.assemble(str(tmp_path), n_shards, str(out))
+    assert out.read_bytes() == api.compress(data.tobytes())

@@ -22,9 +22,9 @@ log(f"backend {jax.default_backend()}")
 
 makers = {
     "mixed": corpus.mixed,
-    "text": getattr(corpus, "text", None),
-    "runs": getattr(corpus, "runs", None),
-    "random": getattr(corpus, "random_bytes", None),
+    "text": corpus.text,
+    "runs": corpus.low_entropy,
+    "random": corpus.random_bytes,
 }
 
 enc = jax.jit(lambda b, n: E.encode_block_core(b, n, True))
