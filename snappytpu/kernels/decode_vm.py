@@ -405,11 +405,21 @@ def _unpack_words(w: jnp.ndarray) -> jnp.ndarray:
     return parts.reshape(w.shape[0], w.shape[1] * 4)
 
 
-@jax.jit
-def decode_blocks_vm(comp_u8: jnp.ndarray, comp_lens: jnp.ndarray, out_lens: jnp.ndarray):
+def decode_blocks_vm(comp_u8, comp_lens, out_lens):
     """Batched block decode on the Pallas VM: (B, PAD_OUT) uint8 + (B,) int32
-    x2 -> ((B, BS) uint8, (B,) bool).  Same contract as
-    decode_jax.decode_blocks.  Blocks are decoded K per grid program;
+    x2 -> ((B, BS) uint8, (B,) bool).  Dispatches to the v2
+    tokenize/movement VM (decode_vm2.py, default) or the v1 interleaved VM
+    below (SNAPPYTPU_VM=1), which is kept for A/B measurement."""
+    if _os.environ.get("SNAPPYTPU_VM", "2") != "1":
+        from .decode_vm2 import decode_blocks_vm2
+
+        return decode_blocks_vm2(comp_u8, comp_lens, out_lens)
+    return _decode_blocks_vm_v1(comp_u8, comp_lens, out_lens)
+
+
+@jax.jit
+def _decode_blocks_vm_v1(comp_u8: jnp.ndarray, comp_lens: jnp.ndarray, out_lens: jnp.ndarray):
+    """v1 interleaved parse/move VM.  Blocks are decoded K per grid program;
     ragged batches are padded with empty blocks (0-length streams finish
     immediately and report ok, the pad rows are dropped here)."""
     B = comp_u8.shape[0]

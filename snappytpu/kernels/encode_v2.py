@@ -125,32 +125,36 @@ def _neighbor_lcp(ks, sh: int):
     return lcp
 
 
-def _tier_best(sflag, spos, ks, pred_ranks, succ_ranks=()):
+def _tier_best(spos, ks, pred_ranks, succ_ranks=()):
     """Best (lcp, cand_pos) per sorted slot against the given neighbor ranks.
 
     Works for any sort order; LCP is exact from the carried words, so
     there are no hash collisions to verify (the property the reference's BST
-    variant exists for, snappy_compression_tree.c:11-24)."""
-    B, W = sflag.shape
+    variant exists for, snappy_compression_tree.c:11-24).
+
+    Tail positions (pos > n - G, zero-padded carried words) need no flag
+    key: they are numerically the LARGEST positions, so `cpos < spos`
+    already excludes them as candidates, and as slots their garbage best
+    match is clamped below G by `finish` (mlen <= n - pos <= 3)."""
+    B, W = spos.shape
     best_len = jnp.zeros((B, W), jnp.int32)
     best_cand = jnp.full((B, W), -1, jnp.int32)
 
-    def consider(cpos, cflag, clcp):
+    def consider(cpos, clcp):
         nonlocal best_len, best_cand
-        ok = (sflag == 0) & (cflag == 0) & (cpos >= 0) & (cpos < spos) & (clcp >= G)
+        ok = (cpos >= 0) & (cpos < spos) & (clcp >= G)
         better = ok & ((clcp > best_len) | ((clcp == best_len) & (cpos > best_cand)))
         best_len = jnp.where(better, clcp, best_len)
         best_cand = jnp.where(better, cpos, best_cand)
 
     for sh in pred_ranks:
-        consider(_shifted(spos, sh, -1), _shifted(sflag, sh, 1), _neighbor_lcp(ks, sh))
+        consider(_shifted(spos, sh, -1), _neighbor_lcp(ks, sh))
     for sh in succ_ranks:
-        B_ = sflag.shape[0]
+        B_ = spos.shape[0]
         npos = jnp.concatenate([spos[:, sh:], jnp.full((B_, sh), -1, jnp.int32)], axis=1)
-        nflag = jnp.concatenate([sflag[:, sh:], jnp.ones((B_, sh), jnp.uint32)], axis=1)
         lcp = _neighbor_lcp(ks, sh)
         nlcp = jnp.concatenate([lcp[:, sh:], jnp.zeros((B_, sh), jnp.int32)], axis=1)
-        consider(npos, nflag, nlcp)
+        consider(npos, nlcp)
     return best_len, best_cand
 
 
@@ -201,7 +205,13 @@ def _find_matches(blocks_u8: jnp.ndarray, n: jnp.ndarray, dense: bool = True):
     pos = _pos(B, BS)
     w = _words(blocks_u8)
     kws = tuple(_shift_words(w, 4 * j) if j else w for j in range(KW))
-    flag = (pos > (n - G)[:, None]).astype(jnp.uint32)
+    # Tail positions replace a flag KEY (formerly one extra sort key in both
+    # tiers): forcing their first key word to the maximum pushes them to the
+    # end of the sort exactly as the flag did (within a genuine 0xFFFFFFFF
+    # group they append last by stability; matches there come from the run
+    # tiers), and candidate exclusion is positional (see _tier_best).
+    tail = pos > (n - G)[:, None]
+    w0p = jnp.where(tail, jnp.uint32(0xFFFFFFFF), kws[0])
 
     def finish(blen, bcand, pos_sub):
         mlen = jnp.minimum(blen, jnp.maximum(n[:, None] - pos_sub, 0))
@@ -212,7 +222,8 @@ def _find_matches(blocks_u8: jnp.ndarray, n: jnp.ndarray, dense: bool = True):
         # pack (cand, len) into one payload: len <= LCP_CAP (7 bits)
         packed = (jnp.maximum(bcand, 0) << 7) | jnp.minimum(blen, 127)
         packed = jnp.where(bcand >= 0, packed, -1)
-        _, mp = lax.sort((spos, packed), dimension=1, num_keys=1)
+        # positions are 0..65535: a u16 key halves the sort's key traffic
+        _, mp = lax.sort((spos.astype(jnp.uint16), packed), dimension=1, num_keys=1)
         mlen = jnp.where(mp >= 0, mp & 127, 0)
         mcand = jnp.where(mp >= 0, mp >> 7, -1)
         return finish(mlen, mcand, pos_sub)
@@ -223,10 +234,20 @@ def _find_matches(blocks_u8: jnp.ndarray, n: jnp.ndarray, dense: bool = True):
     # group slots are already position-ordered — pos rides as an operand,
     # not a key (sort cost scales with KEY count on this target: a 9-key
     # sort measured ~5x a 2-key sort of the same operands).
-    sortedA = lax.sort((flag, kws[0], pos) + kws[1:4], dimension=1, num_keys=2)
-    aflag, apos = sortedA[0], sortedA[2]
-    aks = (sortedA[1],) + sortedA[3:]
-    lenA, candA = _tier_best(aflag, apos, aks, pred_ranks=(1, 2, 3, 4))
+    pos16 = pos.astype(jnp.uint16)     # positions ride sorts at half width
+    import os as _os
+    _aw = int(_os.environ.get("SNAPPYTPU_A_WORDS", "4"))
+    sortedA = lax.sort((w0p, pos16) + kws[1:_aw], dimension=1, num_keys=1)
+    apos = sortedA[1].astype(jnp.int32)
+    aks = (sortedA[0],) + sortedA[2:]
+    # fast has no byte-resolution deep tier, so it examines two extra
+    # in-group predecessor ranks — that is what keeps its corpus-aggregate
+    # ratio >= the reference hash compressor's (the fast-profile contract,
+    # tests/test_encode_v2.py::test_fast_profile_ratio_contract)
+    _ar = _os.environ.get("SNAPPYTPU_A_RANKS", "")
+    default_ranks = (1, 2, 3, 4) if dense else (1, 2, 3, 4, 5, 6)
+    a_ranks = tuple(int(x) for x in _ar.split(",")) if _ar else default_ranks
+    lenA, candA = _tier_best(apos, aks, pred_ranks=a_ranks)
     tiers = [sort_back(apos, lenA, candA, pos)]
 
     # tier B: deep suffix adjacency from SAMPLED key words — the sort
@@ -247,25 +268,30 @@ def _find_matches(blocks_u8: jnp.ndarray, n: jnp.ndarray, dense: bool = True):
     # the sort volume.
     stride = 1 if dense else 4
     sub = (lambda x: x) if stride == 1 else (lambda x: x[:, ::stride])
-    key_ids = tuple(range(KW)) if dense else (0, 1, 4, 8, 12, 15)
+    import os as _os
+    _dk = _os.environ.get("SNAPPYTPU_DENSE_KEYS", "")
+    dense_ids = tuple(int(x) for x in _dk.split(",")) if _dk else tuple(range(KW))
+    key_ids = dense_ids if dense else (0, 1, 4, 8, 12, 15)
     rest_ids = tuple(j for j in range(KW) if j not in key_ids)
+    kw_eff = (w0p,) + kws[1:]
     sortedB = lax.sort(
-        (sub(flag),)
-        + tuple(sub(kws[j]) for j in key_ids)
-        + (sub(pos),)
+        tuple(sub(kw_eff[j]) for j in key_ids)
+        + (sub(pos16),)
         + tuple(sub(kws[j]) for j in rest_ids),
         dimension=1,
-        num_keys=1 + len(key_ids),
+        num_keys=len(key_ids),
     )
-    bflag, bpos = sortedB[0], sortedB[1 + len(key_ids)]
+    bpos = sortedB[len(key_ids)].astype(jnp.int32)
     # reassemble carried words in kws order for the exact-LCP compare
-    by_id = dict(zip(key_ids, sortedB[1 : 1 + len(key_ids)]))
-    rest_it = iter(sortedB[2 + len(key_ids) :])
+    by_id = dict(zip(key_ids, sortedB[: len(key_ids)]))
+    rest_it = iter(sortedB[1 + len(key_ids) :])
     bks = tuple(
         by_id[j] if j in key_ids else next(rest_it) for j in range(KW)
     )
+    _nb = _os.environ.get("SNAPPYTPU_B_RANKS", "")
+    b_ranks = tuple(int(x) for x in _nb.split(",")) if _nb else NEIGHBORS
     lenB, candB = _tier_best(
-        bflag, bpos, bks, pred_ranks=NEIGHBORS, succ_ranks=NEIGHBORS
+        bpos, bks, pred_ranks=b_ranks, succ_ranks=b_ranks
     )
     mlenB, distB = sort_back(bpos, lenB, candB, sub(pos))
     if stride > 1:
@@ -473,7 +499,9 @@ def _reglue(blocks_u8, is_copy, ad, lead, tail, n):
     return is_copy, ad, lead, tail
 
 
-_NSEC = 16                      # emission compaction sections per block
+import os as _os_mod
+
+_NSEC = int(_os_mod.environ.get("SNAPPYTPU_NSEC", "16"))  # emission sections per block
 _SP = BS // _NSEC               # input positions per section
 # worst-case emitted bytes from one section's positions (sustained density
 # is <= ~1 byte/position: literal runs are separated by >=4 covered bytes,

@@ -87,6 +87,33 @@ def test_ratio_beats_reference(reference_cli, tmp_path):
     # real files); no slack multiplier here that could mask a regression
 
 
+def test_fast_profile_ratio_contract(reference_cli, tmp_path):
+    """The fast profile's explicit contract (README/PARITY): corpus-AGGREGATE
+    density >= the reference hash compressor's — per-fixture strictness is
+    dense's contract only (fast trades per-fixture guarantees for speed,
+    the reference's own hash-vs-BST tradeoff, snappy_compression_tree.c)."""
+    names = ["alice_like_text", "mixed200k", "32k_ff", "low_entropy_runs",
+             "binary_image_like", "32k_random"]
+    ours_total = ref_total = 0
+    per_case = {}
+    for name in names:
+        data = CASES[name]
+        raw = tmp_path / f"{name}.raw"
+        raw.write_bytes(data)
+        refc = tmp_path / f"{name}.snappy"
+        subprocess.run(
+            [reference_cli, "-c", str(raw), str(refc)],
+            cwd=tmp_path, check=True, capture_output=True,
+        )
+        ours = len(_encode_stream(data, dense=False))
+        ours_total += ours
+        ref_total += refc.stat().st_size
+        per_case[name] = (ours, refc.stat().st_size)
+    assert ours_total <= ref_total, (
+        f"fast aggregate {ours_total} > ref {ref_total}: {per_case}"
+    )
+
+
 def test_empty_and_tiny():
     assert mdec.decompress(_encode_stream(b"")) == b""
     for payload in (b"a", b"ab", b"abc", b"abcd", b"\x00" * 7):
