@@ -74,10 +74,36 @@ def compress(data: bytes | np.ndarray, profile: str = "dense") -> bytes:
     return b"".join(pieces)
 
 
+def _decompress_windowed(split) -> bytes:
+    """Device decode of a NON-block-splittable stream: chunks cut at op
+    boundaries run through the sequential sliding-window kernel
+    (decode_vm2.decode_stream_vm), the device analog of the reference's
+    128 KiB source-window refill (snappy_decompression.c:154-161)."""
+    from .kernels.decode_vm2 import decode_stream_vm
+
+    chunks, out_lens, ctx_lens = split
+    padded, comp_lens = framing.pad_chunks(chunks)
+    out, ok = decode_stream_vm(
+        padded,
+        comp_lens,
+        np.asarray(out_lens, np.int32),
+        ctx_lens,
+        np.zeros(C.MAX_BLOCK_SIZE, np.uint8),
+    )
+    out, ok = np.asarray(out), np.asarray(ok)
+    if not ok.all():
+        raise CorruptError(
+            f"malformed chunk(s) {np.nonzero(~ok)[0].tolist()} (windowed)"
+        )
+    return b"".join(out[i, : out_lens[i]].tobytes() for i in range(len(out_lens)))
+
+
 def decompress(data: bytes | np.ndarray) -> bytes:
-    """Device-decode a raw Snappy stream (block-splittable: ops must not
-    straddle 64 KiB output boundaries — true for the reference's and our
-    streams).  Falls back to the sequential model decoder otherwise."""
+    """Device-decode a raw Snappy stream.  Block-splittable streams (ops
+    never straddle 64 KiB output boundaries — true for the reference's and
+    our streams) decode as independent parallel blocks; other valid Snappy
+    streams decode on device through the sequential sliding-window kernel;
+    only single ops wider than 64 KiB fall back to the host decoder."""
     arr = (
         np.frombuffer(data, dtype=np.uint8)
         if isinstance(data, (bytes, bytearray))
@@ -96,16 +122,28 @@ def decompress(data: bytes | np.ndarray) -> bytes:
             offs, out_lens_np = cpu.scan_ops(ops, out_len)
             padded, comp_lens = cpu.split_rows(ops, offs, C.MAX_COMPRESSED_BLOCK_SIZE)
         except cpu.NativeError:
-            # unsplittable stream: native sequential decode (raises on corrupt)
-            return cpu.decompress(arr)
+            try:
+                split = framing.split_ops_windowed(ops, out_len)
+                return _decompress_windowed(split)
+            except CorruptError:
+                # giant-op stream, or a chunk the window kernel cannot
+                # prove valid (e.g. copy offsets beyond 128 KiB of context,
+                # which the format allows but no block encoder emits):
+                # the native sequential decoder is the authority — it
+                # decodes the valid ones and raises on the corrupt ones
+                return cpu.decompress(arr)
         out_lens = out_lens_np.astype(np.int64).tolist()
     else:
         try:
             chunks, out_lens = framing.split_ops_stream(ops, out_len)
         except CorruptError:
-            from .model.decode import decode_ops  # sequential fallback
+            try:
+                split = framing.split_ops_windowed(ops, out_len)
+                return _decompress_windowed(split)
+            except CorruptError:
+                from .model.decode import decode_ops  # sequential fallback
 
-            return decode_ops(ops, out_len).tobytes()
+                return decode_ops(ops, out_len).tobytes()
         padded, comp_lens = framing.pad_chunks(chunks)
     out_pieces = []
     for start, size, bucket in _batched(padded.shape[0]):

@@ -160,15 +160,13 @@ def _pattern(uni_ref, dst, lp, dist):
     _merge2(uni_ref, jnp.zeros((1, 128), jnp.int32) + pat, dst, lp)
 
 
-def _decode_kernel(comp_lens_ref, out_lens_ref, smem_ref, comp_v_ref,
-                   out_ref, ok_ref, uni_ref):
-    g = pl.program_id(0)
-    comp_len = comp_lens_ref[g]
-    out_len = out_lens_ref[g]
-
-    # unified image: comp words at rows 0..143, zeroed output at 144..271
-    uni_ref[0:COMP_ROWS, :] = comp_v_ref[0]
-    uni_ref[COMP_ROWS:UROWS, :] = jnp.zeros((UROWS - COMP_ROWS, 128), jnp.int32)
+def _block_loop(smem_ref, uni_ref, comp_len, out_len, ctx_len, out_base):
+    """The sequential piece interpreter for one chunk: parses ops from the
+    SMEM comp words and moves bytes within the unified VMEM image whose
+    output region starts at byte `out_base`.  ctx_len is how many decoded
+    bytes sit immediately BEFORE out_base (the sliding window of the
+    stream decoder, snappy_decompression.c:154-161; 0 for independent
+    blocks).  Returns the final (ip, opc, err, rem) state."""
 
     def parse_at(ip, opc_eff):
         """Decode the op at comp byte ip with the output cursor at opc_eff.
@@ -225,7 +223,7 @@ def _decode_kernel(comp_lens_ref, out_lens_ref, smem_ref, comp_v_ref,
 
         bad = (ip + hdr > comp_len) | (opc_eff + ln > out_len)
         bad = bad | (is_lit & (ip + hdr + ln > comp_len))
-        bad = bad | (~is_lit & ((d < 1) | (d > opc_eff)))
+        bad = bad | (~is_lit & ((d < 1) | (d > opc_eff + ctx_len)))
         bad = bad | ((kind == C.TAG_COPY4) & (b4 != 0))
         bad = bad | (is_lit & (extra == 4) & ((b4 & 0xC0) != 0))
         return hdr, ln, jnp.where(is_lit, 0, d), bad
@@ -290,15 +288,15 @@ def _decode_kernel(comp_lens_ref, out_lens_ref, smem_ref, comp_v_ref,
         dd = done - done % ds + ds          # largest safe read-behind period
         lp = jnp.minimum(rem, PIECE_MAX)
         lp = jnp.where(is_lit | is_pat, lp, jnp.minimum(lp, dd))
-        s = jnp.where(is_lit, src, OUT_BASE + opc - dd)
+        s = jnp.where(is_lit, src, out_base + opc - dd)
 
         @pl.when(live & ~is_pat)
         def _():
-            _piece(uni_ref, s, OUT_BASE + opc, lp)
+            _piece(uni_ref, s, out_base + opc, lp)
 
         @pl.when(live & is_pat)
         def _():
-            _pattern(uni_ref, OUT_BASE + opc, lp, dist)
+            _pattern(uni_ref, out_base + opc, lp, dist)
 
         adv = jnp.where(live, lp, 0)
         return (
@@ -323,6 +321,22 @@ def _decode_kernel(comp_lens_ref, out_lens_ref, smem_ref, comp_v_ref,
     z = jnp.int32(0)
     ip, opc, err, rem, dist, src, done = lax.while_loop(
         loop_cond, loop_body, (z, z, z, z, z, z, z)
+    )
+    return ip, opc, err, rem
+
+
+def _decode_kernel(comp_lens_ref, out_lens_ref, smem_ref, comp_v_ref,
+                   out_ref, ok_ref, uni_ref):
+    g = pl.program_id(0)
+    comp_len = comp_lens_ref[g]
+    out_len = out_lens_ref[g]
+
+    # unified image: comp words at rows 0..143, zeroed output at 144..271
+    uni_ref[0:COMP_ROWS, :] = comp_v_ref[0]
+    uni_ref[COMP_ROWS:UROWS, :] = jnp.zeros((UROWS - COMP_ROWS, 128), jnp.int32)
+
+    ip, opc, err, rem = _block_loop(
+        smem_ref, uni_ref, comp_len, out_len, jnp.int32(0), OUT_BASE
     )
 
     out_ref[0] = uni_ref[COMP_ROWS : COMP_ROWS + OUT_ROWS, :]
@@ -389,5 +403,125 @@ def decode_blocks_vm2(comp_u8: jnp.ndarray, comp_lens: jnp.ndarray, out_lens: jn
         comp_w.reshape(B, COMP_ROWS, 128),
     )
     out = _unpack_words(out_w.reshape(B, OUT_ROWS * 128))
+    ok = okm[:, 0, 0] == 1
+    return out, ok
+
+
+# ---------------------------------------------------------------------------
+# Windowed stream decoder: sequential chunk chain with a sliding 64 KiB
+# context — the device equivalent of the reference's source-window refill
+# loop (snappy_decompression.c:154-161) for streams whose ops straddle
+# 64 KiB output boundaries (not produced by block-disciplined encoders, but
+# valid Snappy).  Chunks are cut at op boundaries by
+# framing.split_ops_windowed; each grid step decodes one chunk with the
+# previous 64 KiB of output resident as copy context and slides the window.
+# ---------------------------------------------------------------------------
+
+CTX_ROWS = OUT_ROWS                           # 128 rows = 64 KiB context
+CTX_BASE = COMP_ROWS * 512                    # context bytes in the image
+SOUT_BASE = (COMP_ROWS + CTX_ROWS) * 512      # chunk output starts here
+SROWS = COMP_ROWS + CTX_ROWS + OUT_ROWS + 8   # 408 rows incl. pad
+
+
+def _stream_kernel(comp_lens_ref, out_lens_ref, ctx_lens_ref, smem_ref,
+                   comp_v_ref, ctx0_ref, out_ref, ok_ref, uni_ref):
+    g = pl.program_id(0)
+    comp_len = comp_lens_ref[g]
+    out_len = out_lens_ref[g]
+    ctx_len = ctx_lens_ref[g]
+
+    uni_ref[0:COMP_ROWS, :] = comp_v_ref[0]
+
+    # context: carried in scratch from the previous grid step; chunk 0
+    # takes the caller-provided window (zeros for a fresh stream, the tail
+    # of already-decoded output when chaining kernel calls)
+    @pl.when(g == 0)
+    def _():
+        uni_ref[COMP_ROWS : COMP_ROWS + CTX_ROWS, :] = ctx0_ref[...]
+
+    uni_ref[COMP_ROWS + CTX_ROWS : SROWS, :] = jnp.zeros(
+        (SROWS - COMP_ROWS - CTX_ROWS, 128), jnp.int32
+    )
+
+    ip, opc, err, rem = _block_loop(
+        smem_ref, uni_ref, comp_len, out_len, ctx_len, SOUT_BASE
+    )
+
+    out_ref[0] = uni_ref[COMP_ROWS + CTX_ROWS : COMP_ROWS + CTX_ROWS + OUT_ROWS, :]
+    ok = ((err == 0) & (ip == comp_len) & (opc == out_len) & (rem == 0)).astype(
+        jnp.int32
+    )
+    ok_ref[0] = jnp.full((8, 128), ok, jnp.int32)
+
+    # slide the window: context' = last 64 KiB of (context || chunk output).
+    # Chunk outputs are usually < 64 KiB (that is why the stream was not
+    # block-splittable), so this is a byte-granular left shift by out_len,
+    # done with the same forward window copier (src > dst, safe).
+    @pl.when(out_len == BS)
+    def _():
+        uni_ref[COMP_ROWS : COMP_ROWS + CTX_ROWS, :] = uni_ref[
+            COMP_ROWS + CTX_ROWS : COMP_ROWS + CTX_ROWS + OUT_ROWS, :
+        ]
+
+    @pl.when((out_len > 0) & (out_len < BS))
+    def _():
+        def shift_body(k, _):
+            done = k * PIECE_MAX
+            lp = jnp.minimum(BS - done, PIECE_MAX)
+            _piece(uni_ref, CTX_BASE + out_len + done, CTX_BASE + done, lp)
+            return 0
+
+        lax.fori_loop(0, (BS + PIECE_MAX - 1) // PIECE_MAX, shift_body, 0)
+
+
+@jax.jit
+def decode_stream_vm(comp_u8, comp_lens, out_lens, ctx_lens, ctx0_u8):
+    """Sequential windowed decode of N op chunks cut at op boundaries:
+    (N, PAD_OUT) u8 + (N,) i32 comp lens + (N,) i32 out lens (<= 64 KiB
+    each) + (N,) i32 available-context lens + (65536,) u8 initial context
+    -> ((N, BS) u8 outputs, (N,) bool ok).  Chunk i's copies may reach
+    up to ctx_lens[i] bytes before its own output (the previous chunks'
+    bytes); outputs are valid in [0, out_lens[i])."""
+    N = comp_u8.shape[0]
+    comp_w = _pack_words(jnp.asarray(comp_u8), CW)
+    ctx_w = _pack_words(jnp.asarray(ctx0_u8).reshape(1, BS), BS // 4)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(N,),
+        in_specs=[
+            pl.BlockSpec((CW,), lambda g, *_: (g,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, COMP_ROWS, 128), lambda g, *_: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CTX_ROWS, 128), lambda g, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, OUT_ROWS, 128), lambda g, *_: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda g, *_: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((SROWS, 128), jnp.int32),
+        ],
+    )
+    out_w, okm = pl.pallas_call(
+        _stream_kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((N, OUT_ROWS, 128), jnp.int32),
+            jax.ShapeDtypeStruct((N, 8, 128), jnp.int32),
+        ],
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(
+        jnp.asarray(comp_lens, jnp.int32),
+        jnp.asarray(out_lens, jnp.int32),
+        jnp.asarray(ctx_lens, jnp.int32),
+        comp_w.reshape(N * CW),
+        comp_w.reshape(N, COMP_ROWS, 128),
+        ctx_w.reshape(CTX_ROWS, 128),
+    )
+    out = _unpack_words(out_w.reshape(N, OUT_ROWS * 128))
     ok = okm[:, 0, 0] == 1
     return out, ok

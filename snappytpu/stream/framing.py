@@ -86,6 +86,51 @@ def split_ops_stream(ops: np.ndarray, out_len: int, block_size: int = C.MAX_BLOC
     return chunks, out_lens
 
 
+def split_ops_windowed(ops: np.ndarray, out_len: int,
+                       block_size: int = C.MAX_BLOCK_SIZE,
+                       comp_cap: int = C.MAX_COMPRESSED_BLOCK_SIZE):
+    """Split an op stream at ARBITRARY op boundaries for the windowed
+    (sliding-context) device decoder — for valid streams whose ops straddle
+    64 KiB output boundaries and so fail split_ops_stream.
+
+    Returns (chunks, out_lens, ctx_lens): chunk i produces out_lens[i]
+    (<= block_size) bytes and its copies may reach ctx_lens[i] =
+    min(previous output, 64 KiB) bytes back past its own start.  Raises
+    CorruptError when no such split exists (a single op larger than a
+    window — e.g. a >64 KiB literal — or a malformed stream); callers then
+    use the sequential host decoder."""
+    chunks: list[np.ndarray] = []
+    out_lens: list[int] = []
+    p = 0
+    w = 0
+    chunk_start = 0
+    chunk_out = 0
+    n = ops.shape[0]
+    while w < out_len:
+        if p >= n:
+            raise CorruptError("stream ended before output complete")
+        kind, length, payload, p_next = parse_op(ops, p)
+        if length > block_size or (p_next - p) > comp_cap:
+            raise CorruptError("single op exceeds window bounds")
+        if w + length > out_len:
+            raise CorruptError("op output overruns declared length")
+        if chunk_out + length > block_size or (p_next - chunk_start) > comp_cap:
+            chunks.append(ops[chunk_start:p])
+            out_lens.append(chunk_out)
+            chunk_start = p
+            chunk_out = 0
+        p = p_next
+        w += length
+        chunk_out += length
+    if p != n:
+        raise CorruptError("trailing garbage after output complete")
+    chunks.append(ops[chunk_start:p])
+    out_lens.append(chunk_out)
+    starts = np.concatenate([[0], np.cumsum(out_lens)[:-1]])
+    ctx_lens = np.minimum(starts, C.MAX_BLOCK_SIZE).astype(np.int32)
+    return chunks, out_lens, ctx_lens
+
+
 def pad_chunks(chunks, pad_to: int = C.MAX_COMPRESSED_BLOCK_SIZE):
     """Variable-length chunks -> ((B, pad_to) uint8, (B,) int32)."""
     B = len(chunks)
