@@ -110,6 +110,24 @@ def main():
         _ = [int(np.asarray(s)) for s in sums]
         enc_s = min(enc_s, time.perf_counter() - t0)
 
+    # companion row: the OTHER profile's encode numbers in the same run
+    # (dense holds the strict <=-reference size contract; fast is the
+    # headline hash-compressor analog) — scalar fetches only
+    @jax.jit
+    def enc_other(b, l):
+        comp, totals = encode_block_core(b, l, not dense)
+        return jnp.sum(totals) + jnp.sum(comp[:, ::997].astype(jnp.int32)), jnp.sum(totals)
+
+    _log("timing companion-profile encode")
+    _ = [int(np.asarray(enc_other(b, l)[0])) for b, l in zip(bl, ll)]
+    enc2_s = 1e18
+    other_total = 0
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        sums = [enc_other(b, l) for b, l in zip(bl, ll)]
+        other_total = sum(int(np.asarray(s[1])) for s in sums)
+        enc2_s = min(enc2_s, time.perf_counter() - t0)
+
     _log("fetch compressed")
     with timer.stage("fetch+host-assemble"):
         comp_np, totals_np = [], []
@@ -168,6 +186,9 @@ def main():
         "decode_gbps": round(gb / dec_s, 4),
         "ratio": round(ratio, 4),
         "profile": "dense" if dense else "fast",
+        "companion_profile": "fast" if dense else "dense",
+        "companion_encode_gbps": round(gb / enc2_s, 4),
+        "companion_ratio": round(data.size / max(other_total, 1), 4),
         "input_mb": BENCH_MB,
         "backend": jax.default_backend(),
     }

@@ -1,32 +1,35 @@
-"""Pallas decode VM v2 — tokenize/movement split per-block interpreter.
+"""Pallas decode VM v2 — unified-image piece interpreter.
 
-The v1 VM (decode_vm.py) interleaves op parsing and byte movement in one
-while loop: every op pays tag decode, guard branches, and a 2-4 row RMW
-chain, measuring ~180-260 ns/op (PROFILE.md) — op-count bound on text.
-v2 restructures the same sequential semantics into two phases per chunk:
+The v1 VM (decode_vm.py) interleaves op parsing and byte movement with
+separate code paths per op kind, measuring ~180-260 ns/op (PROFILE.md) —
+op-count bound on text.  v2 keeps the sequential walk but restructures
+the work per op:
 
-  tokenize  a scalar-only walk of the op stream (SMEM reads, SMEM tape
-            writes): parses tags, applies ALL validity checks
-            (the reference's only plausibility check is dead code,
-            snappy_decompression.c:262; ours is deterministic and matches
-            the v1/model/C++ accept set exactly), and emits fixed-width
-            PIECES (src, dst, len, pattern) into an SMEM tape.  Consecutive
-            same-distance copies — the 60/64-chunked tail of every long
-            match (snappy_compression.c:153-165) and run-length streams —
-            are COALESCED into one logical copy, so movement executes
-            ceil(L/504) pieces instead of ceil(L/64) ops.
-  movement  a branch-light vector loop over the tape: each piece is one
-            two-row window read + one two-row masked RMW on a unified
-            VMEM image holding the compressed block (rows 0..143) and the
-            output (rows 144..271) side by side, so literal pieces
-            (comp->out) and copy pieces (out->out) share ONE code path.
-            No tag decode, no length math, no per-op guards in the hot
-            vector loop.
+  unified image   one VMEM scratch holds a guard row, the compressed
+                  block, and the output side by side, so literal pieces
+                  (comp->out) and copy pieces (out->out) share ONE
+                  funnel-window code path, and every piece is a single
+                  (2, 128)-row read plus a single (2, 128)-row masked
+                  read-modify-write (a piece spans at most two rows).
+  coalescing      consecutive same-distance copies — the 60/64-chunked
+                  tail of every long match (snappy_compression.c:153-165)
+                  and run-length streams — are absorbed at parse time
+                  into one logical copy, so movement executes
+                  ceil(L/504) pieces instead of one per wire op.
+  pattern fill    self-overlap with dist in {1,2,4} writes any length in
+                  one merge (word-periodic splat); other overlapping
+                  distances use period-multiple doubling pieces — the
+                  byte-forward semantics of snappy_decompression.c:273-280
+                  in vector chunks.
 
-Self-overlap (dist < len) is resolved at tokenize time: dist in {1,2,4}
-becomes a pattern piece (the word-periodic fill writes any length in one
-merge); other distances are split into period-multiple doubling pieces —
-byte-forward semantics of snappy_decompression.c:273-280 in vector chunks.
+All validity checks run at parse time (the reference's only plausibility
+check is dead code, snappy_decompression.c:262; ours is deterministic and
+matches the v1/model/C++ accept set exactly — fuzz-differential tested).
+
+A second kernel (decode_stream_vm) chains chunks sequentially with a
+sliding 64 KiB context window for valid streams whose ops straddle block
+boundaries — the device analog of the reference's source-window refill
+(snappy_decompression.c:154-161).
 
 Layout constraints carried over from v1 (probed on the real toolchain):
 int8 VMEM refs do not compile -> packed LE int32 words; scalar VMEM stores
@@ -48,9 +51,18 @@ PAD_OUT = C.MAX_COMPRESSED_BLOCK_SIZE      # 73728 comp bytes / block
 CW = PAD_OUT // 4                          # 18432 comp words
 COMP_ROWS = CW // 128                      # 144 rows of 512 B
 OUT_ROWS = BS // 512                       # 128
-OUT_BASE = COMP_ROWS * 512                 # byte address of output in `uni`
-UROWS = 280                                # 144 comp + 128 out + 8 pad rows
+# one guard row before the comp region keeps every window source address
+# >= 512, so the funnel's virtual start never floors below row 0 and the
+# row-pair read needs no clamp select (see _window)
+COMP_OFF = 512
+OUT_BASE = COMP_OFF + COMP_ROWS * 512      # byte address of output in `uni`
+UROWS = 288                                # guard + 144 comp + 128 out + pad
 PIECE_MAX = 504                            # max piece bytes (2-row window)
+
+
+import os as _os
+
+_NOCOND = _os.environ.get("SNAPPYTPU_VM2_NOCOND", "0") == "1"
 
 
 def _interpret() -> bool:
@@ -76,26 +88,22 @@ def _window(uni_ref, src, dst):
     One (2, 128) row-pair read; the pair is lane-rotated into the
     destination frame, spliced at the row seam, and byte-funneled by the
     net phase difference.  The funnel is forward-only: the virtual source
-    start vs = src - (dst&3) phase-aligns source and dest.  vs < 0 only
-    when src < dst&3 (src <= 3, block head); then ws floors to -1, the
-    clamped read's rotation self-corrects for every word except word -1,
-    whose bytes land below dst&3 in the first dest word — always masked."""
+    start vs = src - (dst&3) phase-aligns source and dest.  Callers keep
+    src >= COMP_OFF (the guard row), so vs >= 509 and the row pair needs
+    no clamping."""
     db = dst & 3
     vs = src - db
-    ws = vs >> 2                           # may be -1
+    ws = vs >> 2
     srow = ws >> 7
     k = ws & 127
     sh = jnp.uint32((vs & 3) * 8)
     kd = (dst >> 2) & 127
 
-    r0 = jnp.maximum(srow, 0)
-    pair = uni_ref[pl.ds(r0, 2), :]        # (2, 128)
+    pair = uni_ref[pl.ds(srow, 2), :]      # (2, 128)
     rot = (kd - k) & 127
     pr = pltpu.roll(pair, rot, 1)
-    a = pr[0:1, :]
-    b = jnp.where(srow >= 0, pr[1:2, :], pr[0:1, :])
     jm = (_lanes() - kd) & 127             # t: source word offset per lane
-    w = jnp.where(jm < 128 - k, a, b)      # w[lane kd+t] = word ws+t
+    w = jnp.where(jm < 128 - k, pr[0:1, :], pr[1:2, :])  # w[lane kd+t] = word ws+t
     wn = pltpu.roll(w, 127, 1)             # word ws+t+1
     uw = w.astype(jnp.uint32)
     un = wn.astype(jnp.uint32)
@@ -266,18 +274,31 @@ def _block_loop(smem_ref, uni_ref, comp_len, out_len, ctx_len, out_base):
                 ip2,
                 rem2,
                 jnp.where(bad, dist, d),
-                jnp.where(bad | ~is_lit, src, ip + hdr),
+                # literal source as an IMAGE address (comp region at COMP_OFF)
+                jnp.where(bad | ~is_lit, src, ip + hdr + COMP_OFF),
                 jnp.int32(0),
                 bad.astype(jnp.int32),
             )
 
         need = (rem == 0) & (ip < comp_len)
-        ip, rem, dist, src, done, nbad = lax.cond(
-            need,
-            do_parse,
-            lambda _: (ip, rem, dist, src, done, jnp.int32(0)),
-            0,
-        )
+        if _NOCOND:
+            # branchless variant: always run the parse dataflow, commit
+            # with selects (A/B lever: trades a scalar branch per piece
+            # for ~40 wasted scalar ops on mid-op iterations)
+            pip, prem, pdist, psrc, pdone, pbad = do_parse(0)
+            ip = jnp.where(need, pip, ip)
+            rem = jnp.where(need, prem, rem)
+            dist = jnp.where(need, pdist, dist)
+            src = jnp.where(need, psrc, src)
+            done = jnp.where(need, pdone, done)
+            nbad = jnp.where(need, pbad, 0)
+        else:
+            ip, rem, dist, src, done, nbad = lax.cond(
+                need,
+                do_parse,
+                lambda _: (ip, rem, dist, src, done, jnp.int32(0)),
+                0,
+            )
         err = err | nbad
 
         # -- emit one piece of the current op --
@@ -331,15 +352,20 @@ def _decode_kernel(comp_lens_ref, out_lens_ref, smem_ref, comp_v_ref,
     comp_len = comp_lens_ref[g]
     out_len = out_lens_ref[g]
 
-    # unified image: comp words at rows 0..143, zeroed output at 144..271
-    uni_ref[0:COMP_ROWS, :] = comp_v_ref[0]
-    uni_ref[COMP_ROWS:UROWS, :] = jnp.zeros((UROWS - COMP_ROWS, 128), jnp.int32)
+    # unified image: guard row 0, comp words at rows 1..144, zeroed
+    # output at 145..272
+    uni_ref[0:1, :] = jnp.zeros((1, 128), jnp.int32)
+    uni_ref[1 : 1 + COMP_ROWS, :] = comp_v_ref[0]
+    uni_ref[1 + COMP_ROWS : UROWS, :] = jnp.zeros(
+        (UROWS - COMP_ROWS - 1, 128), jnp.int32
+    )
 
     ip, opc, err, rem = _block_loop(
         smem_ref, uni_ref, comp_len, out_len, jnp.int32(0), OUT_BASE
     )
 
-    out_ref[0] = uni_ref[COMP_ROWS : COMP_ROWS + OUT_ROWS, :]
+    orow = OUT_BASE // 512
+    out_ref[0] = uni_ref[orow : orow + OUT_ROWS, :]
     ok = ((err == 0) & (ip == comp_len) & (opc == out_len) & (rem == 0)).astype(
         jnp.int32
     )
@@ -418,9 +444,9 @@ def decode_blocks_vm2(comp_u8: jnp.ndarray, comp_lens: jnp.ndarray, out_lens: jn
 # ---------------------------------------------------------------------------
 
 CTX_ROWS = OUT_ROWS                           # 128 rows = 64 KiB context
-CTX_BASE = COMP_ROWS * 512                    # context bytes in the image
-SOUT_BASE = (COMP_ROWS + CTX_ROWS) * 512      # chunk output starts here
-SROWS = COMP_ROWS + CTX_ROWS + OUT_ROWS + 8   # 408 rows incl. pad
+CTX_BASE = COMP_OFF + COMP_ROWS * 512         # context bytes in the image
+SOUT_BASE = CTX_BASE + CTX_ROWS * 512         # chunk output starts here
+SROWS = 1 + COMP_ROWS + CTX_ROWS + OUT_ROWS + 7   # 408 rows incl. guard+pad
 
 
 def _stream_kernel(comp_lens_ref, out_lens_ref, ctx_lens_ref, smem_ref,
@@ -430,24 +456,26 @@ def _stream_kernel(comp_lens_ref, out_lens_ref, ctx_lens_ref, smem_ref,
     out_len = out_lens_ref[g]
     ctx_len = ctx_lens_ref[g]
 
-    uni_ref[0:COMP_ROWS, :] = comp_v_ref[0]
+    uni_ref[0:1, :] = jnp.zeros((1, 128), jnp.int32)
+    uni_ref[1 : 1 + COMP_ROWS, :] = comp_v_ref[0]
 
     # context: carried in scratch from the previous grid step; chunk 0
     # takes the caller-provided window (zeros for a fresh stream, the tail
     # of already-decoded output when chaining kernel calls)
+    crow = CTX_BASE // 512
+    srow = SOUT_BASE // 512
+
     @pl.when(g == 0)
     def _():
-        uni_ref[COMP_ROWS : COMP_ROWS + CTX_ROWS, :] = ctx0_ref[...]
+        uni_ref[crow : crow + CTX_ROWS, :] = ctx0_ref[...]
 
-    uni_ref[COMP_ROWS + CTX_ROWS : SROWS, :] = jnp.zeros(
-        (SROWS - COMP_ROWS - CTX_ROWS, 128), jnp.int32
-    )
+    uni_ref[srow:SROWS, :] = jnp.zeros((SROWS - srow, 128), jnp.int32)
 
     ip, opc, err, rem = _block_loop(
         smem_ref, uni_ref, comp_len, out_len, ctx_len, SOUT_BASE
     )
 
-    out_ref[0] = uni_ref[COMP_ROWS + CTX_ROWS : COMP_ROWS + CTX_ROWS + OUT_ROWS, :]
+    out_ref[0] = uni_ref[srow : srow + OUT_ROWS, :]
     ok = ((err == 0) & (ip == comp_len) & (opc == out_len) & (rem == 0)).astype(
         jnp.int32
     )
@@ -459,9 +487,7 @@ def _stream_kernel(comp_lens_ref, out_lens_ref, ctx_lens_ref, smem_ref,
     # done with the same forward window copier (src > dst, safe).
     @pl.when(out_len == BS)
     def _():
-        uni_ref[COMP_ROWS : COMP_ROWS + CTX_ROWS, :] = uni_ref[
-            COMP_ROWS + CTX_ROWS : COMP_ROWS + CTX_ROWS + OUT_ROWS, :
-        ]
+        uni_ref[crow : crow + CTX_ROWS, :] = uni_ref[srow : srow + OUT_ROWS, :]
 
     @pl.when((out_len > 0) & (out_len < BS))
     def _():

@@ -147,13 +147,18 @@ def _tier_best(spos, ks, pred_ranks, succ_ranks=()):
         best_len = jnp.where(better, clcp, best_len)
         best_cand = jnp.where(better, cpos, best_cand)
 
+    # one adjacency LCP per shift, shared by the predecessor view and the
+    # (shifted) successor view — halves the shift-and-compare volume when a
+    # rank appears on both sides
+    lcp_by_sh = {sh: _neighbor_lcp(ks, sh) for sh in dict.fromkeys(pred_ranks + tuple(succ_ranks))}
     for sh in pred_ranks:
-        consider(_shifted(spos, sh, -1), _neighbor_lcp(ks, sh))
+        consider(_shifted(spos, sh, -1), lcp_by_sh[sh])
     for sh in succ_ranks:
         B_ = spos.shape[0]
         npos = jnp.concatenate([spos[:, sh:], jnp.full((B_, sh), -1, jnp.int32)], axis=1)
-        lcp = _neighbor_lcp(ks, sh)
-        nlcp = jnp.concatenate([lcp[:, sh:], jnp.zeros((B_, sh), jnp.int32)], axis=1)
+        nlcp = jnp.concatenate(
+            [lcp_by_sh[sh][:, sh:], jnp.zeros((B_, sh), jnp.int32)], axis=1
+        )
         consider(npos, nlcp)
     return best_len, best_cand
 
@@ -502,14 +507,13 @@ def _reglue(blocks_u8, is_copy, ad, lead, tail, n):
 import os as _os_mod
 
 _NSEC = int(_os_mod.environ.get("SNAPPYTPU_NSEC", "16"))  # emission sections per block
-_SP = BS // _NSEC               # input positions per section
-# worst-case emitted bytes from one section's positions (sustained density
-# is <= ~1 byte/position: literal runs are separated by >=4 covered bytes,
-# copy ops emit <=3 bytes per >=4 covered positions), padded to lane rows
-_SECCAP = ((_SP + _SP // 4 + 128 + 511) // 512) * 512
+# per-section capacity inside _emit: worst-case emitted bytes from one
+# section's positions (sustained density is <= ~1 byte/position: literal
+# runs are separated by >=4 covered bytes, copy ops emit <=3 bytes per >=4
+# covered positions), padded to lane rows
 
 
-def _emit(blocks_u8, is_copy, ad, lead, tail, n):
+def _emit(blocks_u8, is_copy, ad, lead, tail, n, nsec=None):
     """Byte-granular interval emission + sectioned compaction.
 
     Anchor runs (same-d consecutive copy tiles) are stretched into the
@@ -519,6 +523,9 @@ def _emit(blocks_u8, is_copy, ad, lead, tail, n):
     becomes a (dest, value) slot; short-row per-section sorts compact the
     slots and a Pallas funnel concat assembles the final row —
     no unbounded scatters or gathers anywhere."""
+    nsec = _NSEC if nsec is None else nsec
+    sp = BS // nsec
+    seccap = ((sp + sp // 4 + 128 + 511) // 512) * 512
     B = blocks_u8.shape[0]
     pos = _pos(B, BS)
     a_pos = _pos(B, NA) * G
@@ -663,17 +670,17 @@ def _emit(blocks_u8, is_copy, ad, lead, tail, n):
     c4 = pk(lit, off + jnp.where(lstart, hdr, 0), blocks_u8.astype(jnp.int32))
 
     # Section compaction: slot dests are globally monotone in source
-    # position, so the _NSEC sections own disjoint, ordered dest ranges.
-    # Each section's 4*_SP slots compact with an independent short-row sort
+    # position, so the nsec sections own disjoint, ordered dest ranges.
+    # Each section's 4*sp slots compact with an independent short-row sort
     # (~2.7x cheaper per element than a full-width sort on this target) and
     # the variable-length section heads are assembled in one pass by the
     # Pallas funnel-concat kernel — no second sort, no scatters.
     slots = jnp.stack(
-        [c.reshape(B, _NSEC, _SP) for c in (c1, c2, c3, c4)], axis=2
-    ).reshape(B * _NSEC, 4 * _SP)
+        [c.reshape(B, nsec, sp) for c in (c1, c2, c3, c4)], axis=2
+    ).reshape(B * nsec, 4 * sp)
     (ss,) = lax.sort((slots,), dimension=1, num_keys=1)
-    sec_bytes = (ss[:, :_SECCAP] & 0xFF).astype(jnp.uint8).reshape(B, _NSEC, _SECCAP)
-    sec_cnt = jnp.sum(size.reshape(B, _NSEC, _SP), axis=2, dtype=jnp.int32)
+    sec_bytes = (ss[:, :seccap] & 0xFF).astype(jnp.uint8).reshape(B, nsec, seccap)
+    sec_cnt = jnp.sum(size.reshape(B, nsec, sp), axis=2, dtype=jnp.int32)
     out = concat_rows(sec_bytes, sec_cnt, PAD_OUT)
     return out, total
 
