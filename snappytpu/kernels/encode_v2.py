@@ -665,19 +665,34 @@ def _emit(blocks_u8, is_copy, ad, lead, tail, n, nsec=None):
     c1 = jnp.where(lstart, (off << 8) | h0, c1)
     c2 = pk(op_start, off + 1, d_lo)
     c2 = jnp.where(lstart & (hdr >= 2), ((off + 1) << 8) | (m & 0xFF), c2)
-    c3 = pk(op_start & ~two, off + 2, d_hi)
-    c3 = jnp.where(lstart & (hdr >= 3), ((off + 2) << 8) | (m >> 8), c3)
+    # third emitted byte (COPY2 d_hi / 2-byte literal length hi): rides the
+    # NEXT position's first slot — that position is always a covered
+    # interior or literal non-start byte (ops span >= 4 positions, a
+    # hdr-3 literal run spans >= 257), so its c1 lane is free.  This cuts
+    # the compaction sort from 4 to 3 slots per position; the one
+    # section-final position per section instead uses a dedicated
+    # straggler lane appended to the section row (a shifted slot must not
+    # leak into the next section's dest range).
+    e3 = pk(op_start & ~two, off + 2, d_hi)
+    e3 = jnp.where(lstart & (hdr >= 3), ((off + 2) << 8) | (m >> 8), e3)
+    e3r = e3.reshape(B, nsec, sp)
+    straggler = e3r[:, :, sp - 1 :]                    # (B, nsec, 1)
+    shifted = jnp.concatenate(
+        [jnp.full((B, nsec, 1), INF << 8, jnp.int32), e3r[:, :, : sp - 1]], axis=2
+    ).reshape(B, BS)
+    c1 = jnp.where(c1 != (INF << 8), c1, shifted)
     c4 = pk(lit, off + jnp.where(lstart, hdr, 0), blocks_u8.astype(jnp.int32))
 
     # Section compaction: slot dests are globally monotone in source
     # position, so the nsec sections own disjoint, ordered dest ranges.
-    # Each section's 4*sp slots compact with an independent short-row sort
+    # Each section's 3*sp+1 slots compact with an independent short-row sort
     # (~2.7x cheaper per element than a full-width sort on this target) and
     # the variable-length section heads are assembled in one pass by the
     # Pallas funnel-concat kernel — no second sort, no scatters.
     slots = jnp.stack(
-        [c.reshape(B, nsec, sp) for c in (c1, c2, c3, c4)], axis=2
-    ).reshape(B * nsec, 4 * sp)
+        [c.reshape(B, nsec, sp) for c in (c1, c2, c4)], axis=2
+    ).reshape(B * nsec, 3 * sp)
+    slots = jnp.concatenate([slots, straggler.reshape(B * nsec, 1)], axis=1)
     (ss,) = lax.sort((slots,), dimension=1, num_keys=1)
     sec_bytes = (ss[:, :seccap] & 0xFF).astype(jnp.uint8).reshape(B, nsec, seccap)
     sec_cnt = jnp.sum(size.reshape(B, nsec, sp), axis=2, dtype=jnp.int32)

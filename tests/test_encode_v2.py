@@ -114,6 +114,42 @@ def test_fast_profile_ratio_contract(reference_cli, tmp_path):
     )
 
 
+def test_emit_straggler_at_section_boundary():
+    """The emission packs the third op byte into the NEXT position's slot;
+    a section-final op start instead uses the dedicated straggler lane.
+    Force a COPY2 op start at exactly position sp-1 (the last position of
+    emission section 0) via crafted election state and verify the stream
+    byte-decodes."""
+    import jax.numpy as jnp
+    from snappytpu.kernels.encode_v2 import _emit, _NSEC, BS, G, NA
+
+    sp = BS // _NSEC
+    rng = np.random.default_rng(11)
+    dist = 50
+    E = 8200
+    data = rng.integers(0, 256, BS, dtype=np.uint8)
+    for q in range(63, E):
+        data[q] = data[q - dist]
+    # copy run covering bytes 63..E: anchors 16..E//4, lead 1 at the head
+    # (64 - 1 = byte 63), so op starts land at 63 + 64k — including 4095,
+    # the section-0-final position (sp=4096 at the default 16 sections)
+    assert (4095 - 63) % 64 == 0 and sp == 4096
+    is_copy = np.zeros((1, NA), bool)
+    is_copy[0, 16 : E // G] = True
+    ad = np.where(is_copy, dist, 0).astype(np.int32)
+    lead = np.zeros((1, NA), np.int32)
+    lead[0, 16] = 1
+    tail = np.zeros((1, NA), np.int32)
+    n = np.array([BS], np.int32)
+    comp, total = _emit(
+        jnp.asarray(data[None, :]), jnp.asarray(is_copy), jnp.asarray(ad),
+        jnp.asarray(lead), jnp.asarray(tail), jnp.asarray(n),
+    )
+    stream = np.asarray(comp)[0, : int(np.asarray(total)[0])]
+    out = mdec.decode_ops(np.asarray(stream), BS)
+    assert out.tobytes() == data.tobytes()
+
+
 def test_empty_and_tiny():
     assert mdec.decompress(_encode_stream(b"")) == b""
     for payload in (b"a", b"ab", b"abc", b"abcd", b"\x00" * 7):

@@ -15,8 +15,8 @@ from snappytpu.kernels import decode_vm as V
 t0 = time.time()
 def log(m): print(f"[{time.time()-t0:6.1f}s] {m}", flush=True)
 
-B = 128
-NQ = 4
+B = int(os.environ.get("SNAPPYTPU_DEC_B", "128"))
+NQ = int(os.environ.get("SNAPPYTPU_DEC_NQ", "4"))
 WHICH = os.environ.get("SNAPPYTPU_DEC_CORPUS", "mixed,text").split(",")
 log(f"backend {jax.default_backend()}")
 
