@@ -506,7 +506,9 @@ def _reglue(blocks_u8, is_copy, ad, lead, tail, n):
 
 import os as _os_mod
 
-_NSEC = int(_os_mod.environ.get("SNAPPYTPU_NSEC", "16"))  # emission sections per block
+# 32 sections measured ~4-5 ms/batch faster than 16 on both profiles
+# (tools/enc_profile.py; shorter sort rows win until concat overhead bites)
+_NSEC = int(_os_mod.environ.get("SNAPPYTPU_NSEC", "32"))  # emission sections per block
 # per-section capacity inside _emit: worst-case emitted bytes from one
 # section's positions (sustained density is <= ~1 byte/position: literal
 # runs are separated by >=4 covered bytes, copy ops emit <=3 bytes per >=4
@@ -692,7 +694,10 @@ def _emit(blocks_u8, is_copy, ad, lead, tail, n, nsec=None):
     slots = jnp.stack(
         [c.reshape(B, nsec, sp) for c in (c1, c2, c4)], axis=2
     ).reshape(B * nsec, 3 * sp)
-    slots = jnp.concatenate([slots, straggler.reshape(B * nsec, 1)], axis=1)
+    # straggler lane padded to a full 128-lane group: ragged sort widths
+    # tile poorly on this target, and the extra INF slots sort to the end
+    pad = jnp.broadcast_to(jnp.int32(INF << 8), (B * nsec, 127))
+    slots = jnp.concatenate([slots, straggler.reshape(B * nsec, 1), pad], axis=1)
     (ss,) = lax.sort((slots,), dimension=1, num_keys=1)
     sec_bytes = (ss[:, :seccap] & 0xFF).astype(jnp.uint8).reshape(B, nsec, seccap)
     sec_cnt = jnp.sum(size.reshape(B, nsec, sp), axis=2, dtype=jnp.int32)

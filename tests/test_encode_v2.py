@@ -131,9 +131,10 @@ def test_emit_straggler_at_section_boundary():
     for q in range(63, E):
         data[q] = data[q - dist]
     # copy run covering bytes 63..E: anchors 16..E//4, lead 1 at the head
-    # (64 - 1 = byte 63), so op starts land at 63 + 64k — including 4095,
-    # the section-0-final position (sp=4096 at the default 16 sections)
-    assert (4095 - 63) % 64 == 0 and sp == 4096
+    # (64 - 1 = byte 63), so op starts land at 63 + 64k — including sp-1,
+    # the section-0-final position (sp is a multiple of 64, so
+    # sp-1 === 63 mod 64 for any section count)
+    assert (sp - 1 - 63) % 64 == 0 and E > sp + 4
     is_copy = np.zeros((1, NA), bool)
     is_copy[0, 16 : E // G] = True
     ad = np.where(is_copy, dist, 0).astype(np.int32)
