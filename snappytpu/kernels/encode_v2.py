@@ -228,7 +228,8 @@ def _find_matches(blocks_u8: jnp.ndarray, n: jnp.ndarray, dense: bool = True):
         packed = (jnp.maximum(bcand, 0) << 7) | jnp.minimum(blen, 127)
         packed = jnp.where(bcand >= 0, packed, -1)
         # positions are 0..65535: a u16 key halves the sort's key traffic
-        _, mp = lax.sort((spos.astype(jnp.uint16), packed), dimension=1, num_keys=1)
+        key = spos.astype(jnp.uint16) if _p16 else spos
+        _, mp = lax.sort((key, packed), dimension=1, num_keys=1)
         mlen = jnp.where(mp >= 0, mp & 127, 0)
         mcand = jnp.where(mp >= 0, mp >> 7, -1)
         return finish(mlen, mcand, pos_sub)
@@ -239,8 +240,11 @@ def _find_matches(blocks_u8: jnp.ndarray, n: jnp.ndarray, dense: bool = True):
     # group slots are already position-ordered — pos rides as an operand,
     # not a key (sort cost scales with KEY count on this target: a 9-key
     # sort measured ~5x a 2-key sort of the same operands).
-    pos16 = pos.astype(jnp.uint16)     # positions ride sorts at half width
     import os as _os
+    # positions ride sorts at half width by default; SNAPPYTPU_POS16=0
+    # reverts to int32 operands (A/B: u16 relayout cost vs traffic saved)
+    _p16 = _os.environ.get("SNAPPYTPU_POS16", "1") == "1"
+    pos16 = pos.astype(jnp.uint16) if _p16 else pos
     _aw = int(_os.environ.get("SNAPPYTPU_A_WORDS", "4"))
     sortedA = lax.sort((w0p, pos16) + kws[1:_aw], dimension=1, num_keys=1)
     apos = sortedA[1].astype(jnp.int32)
