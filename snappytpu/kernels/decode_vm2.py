@@ -62,7 +62,10 @@ PIECE_MAX = 504                            # max piece bytes (2-row window)
 
 import os as _os
 
-_NOCOND = _os.environ.get("SNAPPYTPU_VM2_NOCOND", "0") == "1"
+# branchless parse (always run the parse dataflow, commit via selects)
+# measured ~3% faster than a scalar branch per piece on the bench corpus;
+# SNAPPYTPU_VM2_NOCOND=0 restores the lax.cond variant
+_NOCOND = _os.environ.get("SNAPPYTPU_VM2_NOCOND", "1") == "1"
 
 
 def _interpret() -> bool:
