@@ -64,6 +64,14 @@ def compress(data: bytes | np.ndarray, profile: str = "dense") -> bytes:
         bl[:size] = lens[start : start + size]
         comp, totals = encode_blocks(bb, bl, profile)
         comp, totals = np.asarray(comp), np.asarray(totals)
+        if (totals[:size] < 0).any():
+            # the encoder's emission-capacity guard poisoned a block
+            # (encode_v2._section_capacity) — unreachable for legal
+            # geometry, but never silently emit a truncated stream
+            raise RuntimeError(
+                f"encoder capacity overflow in block(s) "
+                f"{np.nonzero(totals[:size] < 0)[0].tolist()}"
+            )
         if cpu.available:
             # native variable-length row gather (memcpy speed) instead of a
             # per-block Python loop — at device GB/s this loop is the wall

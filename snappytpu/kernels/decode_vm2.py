@@ -60,14 +60,6 @@ UROWS = 288                                # guard + 144 comp + 128 out + pad
 PIECE_MAX = 504                            # max piece bytes (2-row window)
 
 
-import os as _os
-
-# branchless parse (always run the parse dataflow, commit via selects)
-# measured ~3% faster than a scalar branch per piece on the bench corpus;
-# SNAPPYTPU_VM2_NOCOND=0 restores the lax.cond variant
-_NOCOND = _os.environ.get("SNAPPYTPU_VM2_NOCOND", "1") == "1"
-
-
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -284,25 +276,17 @@ def _block_loop(smem_ref, uni_ref, comp_len, out_len, ctx_len, out_base):
             )
 
         need = (rem == 0) & (ip < comp_len)
-        if _NOCOND:
-            # branchless variant: always run the parse dataflow, commit
-            # with selects (A/B lever: trades a scalar branch per piece
-            # for ~40 wasted scalar ops on mid-op iterations)
-            pip, prem, pdist, psrc, pdone, pbad = do_parse(0)
-            ip = jnp.where(need, pip, ip)
-            rem = jnp.where(need, prem, rem)
-            dist = jnp.where(need, pdist, dist)
-            src = jnp.where(need, psrc, src)
-            done = jnp.where(need, pdone, done)
-            nbad = jnp.where(need, pbad, 0)
-        else:
-            ip, rem, dist, src, done, nbad = lax.cond(
-                need,
-                do_parse,
-                lambda _: (ip, rem, dist, src, done, jnp.int32(0)),
-                0,
-            )
-        err = err | nbad
+        # branchless parse: always run the parse dataflow, commit with
+        # selects — measured ~3% faster than a lax.cond per piece on the
+        # bench corpus (the scalar branch cost exceeds ~40 wasted scalar
+        # ops on mid-op iterations); the r3 A/B lever is retired
+        pip, prem, pdist, psrc, pdone, pbad = do_parse(0)
+        ip = jnp.where(need, pip, ip)
+        rem = jnp.where(need, prem, rem)
+        dist = jnp.where(need, pdist, dist)
+        src = jnp.where(need, psrc, src)
+        done = jnp.where(need, pdone, done)
+        err = err | jnp.where(need, pbad, 0)
 
         # -- emit one piece of the current op --
         live = (err == 0) & (rem > 0)

@@ -194,7 +194,9 @@ def _run_tier(blocks_u8: jnp.ndarray, n: jnp.ndarray):
     return tiers
 
 
-def _find_matches(blocks_u8: jnp.ndarray, n: jnp.ndarray, dense: bool = True):
+def _find_matches(blocks_u8: jnp.ndarray, n: jnp.ndarray, dense: bool = True,
+                  *, a_ranks=None, b_ranks=None, dense_keys=None,
+                  a_words: int = 4, pos16: bool = True):
     """Per-position (match_len <= 16, dist >= 1); len 0 where no match.
 
     Two sort tiers, both collision-free:
@@ -205,6 +207,13 @@ def _find_matches(blocks_u8: jnp.ndarray, n: jnp.ndarray, dense: bool = True):
       tier B  (flag, w0..w3, pos): suffix-array adjacency on the 16-byte
               prefix — long matches whose nearest occurrence is many
               4-gram-group slots away.  (dense profile only)
+
+    The keyword knobs are A/B levers for the profiling tools ONLY; the
+    defaults are the tested configuration and the size contracts
+    (tests/test_reference_compat.py, test_encode_v2.py) hold for the
+    defaults alone.  They are real function arguments (not env reads) so
+    every variant traces separately and the production jit cache cannot
+    serve a non-default trace (ADVICE r3 #1).
     """
     B = blocks_u8.shape[0]
     pos = _pos(B, BS)
@@ -228,7 +237,7 @@ def _find_matches(blocks_u8: jnp.ndarray, n: jnp.ndarray, dense: bool = True):
         packed = (jnp.maximum(bcand, 0) << 7) | jnp.minimum(blen, 127)
         packed = jnp.where(bcand >= 0, packed, -1)
         # positions are 0..65535: a u16 key halves the sort's key traffic
-        key = spos.astype(jnp.uint16) if _p16 else spos
+        key = spos.astype(jnp.uint16) if pos16 else spos
         _, mp = lax.sort((key, packed), dimension=1, num_keys=1)
         mlen = jnp.where(mp >= 0, mp & 127, 0)
         mcand = jnp.where(mp >= 0, mp >> 7, -1)
@@ -240,23 +249,19 @@ def _find_matches(blocks_u8: jnp.ndarray, n: jnp.ndarray, dense: bool = True):
     # group slots are already position-ordered — pos rides as an operand,
     # not a key (sort cost scales with KEY count on this target: a 9-key
     # sort measured ~5x a 2-key sort of the same operands).
-    import os as _os
-    # positions ride sorts at half width by default; SNAPPYTPU_POS16=0
-    # reverts to int32 operands (A/B: u16 relayout cost vs traffic saved)
-    _p16 = _os.environ.get("SNAPPYTPU_POS16", "1") == "1"
-    pos16 = pos.astype(jnp.uint16) if _p16 else pos
-    _aw = int(_os.environ.get("SNAPPYTPU_A_WORDS", "4"))
-    sortedA = lax.sort((w0p, pos16) + kws[1:_aw], dimension=1, num_keys=1)
+    # positions ride sorts at half width (u16) by default: measured equal
+    # or better than int32 operands on both profiles (PROFILE.md r3 A/B)
+    pos_op = pos.astype(jnp.uint16) if pos16 else pos
+    sortedA = lax.sort((w0p, pos_op) + kws[1:a_words], dimension=1, num_keys=1)
     apos = sortedA[1].astype(jnp.int32)
     aks = (sortedA[0],) + sortedA[2:]
     # fast has no byte-resolution deep tier, so it examines two extra
     # in-group predecessor ranks — that is what keeps its corpus-aggregate
     # ratio >= the reference hash compressor's (the fast-profile contract,
     # tests/test_encode_v2.py::test_fast_profile_ratio_contract)
-    _ar = _os.environ.get("SNAPPYTPU_A_RANKS", "")
-    default_ranks = (1, 2, 3, 4) if dense else (1, 2, 3, 4, 5, 6)
-    a_ranks = tuple(int(x) for x in _ar.split(",")) if _ar else default_ranks
-    lenA, candA = _tier_best(apos, aks, pred_ranks=a_ranks)
+    if a_ranks is None:
+        a_ranks = (1, 2, 3, 4) if dense else (1, 2, 3, 4, 5, 6)
+    lenA, candA = _tier_best(apos, aks, pred_ranks=tuple(a_ranks))
     tiers = [sort_back(apos, lenA, candA, pos)]
 
     # tier B: deep suffix adjacency from SAMPLED key words — the sort
@@ -277,15 +282,13 @@ def _find_matches(blocks_u8: jnp.ndarray, n: jnp.ndarray, dense: bool = True):
     # the sort volume.
     stride = 1 if dense else 4
     sub = (lambda x: x) if stride == 1 else (lambda x: x[:, ::stride])
-    import os as _os
-    _dk = _os.environ.get("SNAPPYTPU_DENSE_KEYS", "")
-    dense_ids = tuple(int(x) for x in _dk.split(",")) if _dk else tuple(range(KW))
+    dense_ids = tuple(dense_keys) if dense_keys is not None else tuple(range(KW))
     key_ids = dense_ids if dense else (0, 1, 4, 8, 12, 15)
     rest_ids = tuple(j for j in range(KW) if j not in key_ids)
     kw_eff = (w0p,) + kws[1:]
     sortedB = lax.sort(
         tuple(sub(kw_eff[j]) for j in key_ids)
-        + (sub(pos16),)
+        + (sub(pos_op),)
         + tuple(sub(kws[j]) for j in rest_ids),
         dimension=1,
         num_keys=len(key_ids),
@@ -297,8 +300,9 @@ def _find_matches(blocks_u8: jnp.ndarray, n: jnp.ndarray, dense: bool = True):
     bks = tuple(
         by_id[j] if j in key_ids else next(rest_it) for j in range(KW)
     )
-    _nb = _os.environ.get("SNAPPYTPU_B_RANKS", "")
-    b_ranks = tuple(int(x) for x in _nb.split(",")) if _nb else NEIGHBORS
+    if b_ranks is None:
+        b_ranks = NEIGHBORS
+    b_ranks = tuple(b_ranks)
     lenB, candB = _tier_best(
         bpos, bks, pred_ranks=b_ranks, succ_ranks=b_ranks
     )
@@ -508,18 +512,34 @@ def _reglue(blocks_u8, is_copy, ad, lead, tail, n):
     return is_copy, ad, lead, tail
 
 
-import os as _os_mod
-
 # 32 sections measured ~4-5 ms/batch faster than 16 on both profiles
 # (tools/enc_profile.py; shorter sort rows win until concat overhead bites)
-_NSEC = int(_os_mod.environ.get("SNAPPYTPU_NSEC", "32"))  # emission sections per block
-# per-section capacity inside _emit: worst-case emitted bytes from one
-# section's positions (sustained density is <= ~1 byte/position: literal
-# runs are separated by >=4 covered bytes, copy ops emit <=3 bytes per >=4
-# covered positions), padded to lane rows
+_NSEC = 32  # emission sections per block
 
 
-def _emit(blocks_u8, is_copy, ad, lead, tail, n, nsec=None):
+def _section_capacity(sp: int) -> int:
+    """Per-section slot capacity: worst-case emitted bytes attributable to
+    one section's sp positions, padded to full 512-byte lane rows.
+
+    The sustained emission density is bounded by ~1.015 bytes/position:
+    covered intervals always contain a full 4-aligned anchor tile, so
+    ops cover >= 4 positions for <= 3 op bytes (0.75); literal runs of L
+    bytes cost L + hdr, maximized per position at the 2-byte header's
+    lower edge — and the 4-aligned gap geometry makes L = 64 the densest
+    reachable run (66/64).  The tightest alternation, [4-byte COPY2]
+    [64-byte literal], costs (3 + 66) bytes per 68 positions = 1.0147
+    (exercised by tests/test_encode_v2.py::
+    test_emission_max_density_and_capacity_guard).  The sp // 4 + 128
+    headroom over 1.0 * sp covers that excess plus section-boundary
+    partial ops/headers with >5x margin.  _emit enforces the bound at
+    runtime: a section exceeding it poisons the block's reported total
+    (negative), the device-side analog of decode's ok bit — silent slot
+    dropping is impossible (worst-case expansion discipline of
+    snappy_compression.c:190)."""
+    return ((sp + sp // 4 + 128 + 511) // 512) * 512
+
+
+def _emit(blocks_u8, is_copy, ad, lead, tail, n, nsec=None, seccap=None):
     """Byte-granular interval emission + sectioned compaction.
 
     Anchor runs (same-d consecutive copy tiles) are stretched into the
@@ -531,7 +551,9 @@ def _emit(blocks_u8, is_copy, ad, lead, tail, n, nsec=None):
     no unbounded scatters or gathers anywhere."""
     nsec = _NSEC if nsec is None else nsec
     sp = BS // nsec
-    seccap = ((sp + sp // 4 + 128 + 511) // 512) * 512
+    # seccap is overridable ONLY so tests can prove the overflow guard
+    # fires (tests/test_encode_v2.py); production always uses the bound
+    seccap = _section_capacity(sp) if seccap is None else seccap
     B = blocks_u8.shape[0]
     pos = _pos(B, BS)
     a_pos = _pos(B, NA) * G
@@ -705,7 +727,14 @@ def _emit(blocks_u8, is_copy, ad, lead, tail, n, nsec=None):
     (ss,) = lax.sort((slots,), dimension=1, num_keys=1)
     sec_bytes = (ss[:, :seccap] & 0xFF).astype(jnp.uint8).reshape(B, nsec, seccap)
     sec_cnt = jnp.sum(size.reshape(B, nsec, sp), axis=2, dtype=jnp.int32)
-    out = concat_rows(sec_bytes, sec_cnt, PAD_OUT)
+    # capacity guard: a section needing more than seccap bytes would have
+    # its tail slots truncated by the ss[:, :seccap] take above — flag the
+    # block by poisoning its total (callers treat total < 0 as an encode
+    # error, the encode-side ok bit).  The bound is derived in
+    # _section_capacity and cannot be hit by legal emission geometry.
+    overflow = jnp.any(sec_cnt > seccap, axis=1)
+    total = jnp.where(overflow, jnp.int32(-1), total)
+    out = concat_rows(sec_bytes, jnp.minimum(sec_cnt, seccap), PAD_OUT)
     return out, total
 
 

@@ -163,3 +163,59 @@ def test_block_tail_alignment():
     for ln in (65533, 65536, 65537, 65541, 69999):
         data = base[:ln]
         assert mdec.decompress(_encode_stream(data)) == data
+
+
+def test_emission_max_density_and_capacity_guard():
+    """Emission-capacity contract (VERDICT r3 #3).
+
+    (a) The densest legal emission geometry the anchor-tile grid admits —
+        a [4-byte COPY2 op][64-byte literal] alternation, ~1.015 emitted
+        bytes/position sustained (the 2-byte literal header at rlen 64 is
+        the peak header density a 4-aligned gap allows) — emits MORE
+        bytes than it covers, stays within _section_capacity's 1.31*sp
+        bound with margin, and byte-decodes.
+    (b) The in-jit guard: with seccap overridden below the achieved
+        density, _emit reports total = -1 (the encode-side ok bit)
+        instead of silently truncating section slots, which is what
+        shipped before the guard existed.
+    """
+    import jax.numpy as jnp
+    from snappytpu.kernels.encode_v2 import (
+        _emit, _section_capacity, _NSEC, BS, G, NA,
+    )
+
+    sp = BS // _NSEC
+    rng = np.random.default_rng(23)
+    dist = 4000          # >= 2048 forces COPY2 (3 op bytes per 4-byte op)
+    data = rng.integers(0, 256, dist, dtype=np.uint8)
+    data = np.resize(data, BS)            # period-4000 => all copies verify
+    start_a = dist // G                   # first anchor where dist <= a_pos
+    # copy anchors every 17th tile: 4 covered bytes + 64-byte literal gap
+    # per 68-byte period => (3 + 64 + 2) / 68 = 1.0147 bytes/position
+    is_copy = np.zeros((1, NA), bool)
+    is_copy[0, start_a::17] = True
+    ad = np.where(is_copy, dist, 0).astype(np.int32)
+    lead = np.zeros((1, NA), np.int32)
+    tail = np.zeros((1, NA), np.int32)
+    n = np.array([BS], np.int32)
+    args = (
+        jnp.asarray(data[None, :]), jnp.asarray(is_copy), jnp.asarray(ad),
+        jnp.asarray(lead), jnp.asarray(tail), jnp.asarray(n),
+    )
+
+    comp, total = _emit(*args)
+    t = int(np.asarray(total)[0])
+    assert t > 0, "max-density emission must not overflow the derived bound"
+    assert t > BS, "the adversarial shape must expand (density > 1)"
+    stream = np.asarray(comp)[0, :t]
+    out = mdec.decode_ops(np.asarray(stream), BS)
+    assert out.tobytes() == data.tobytes()
+    assert _section_capacity(sp) >= sp + sp // 4  # the margin the bound claims
+
+    # (b) guard fires when capacity is (artificially) insufficient: the
+    # steady-state sections need ~1.015 * sp slots, so capacity sp drops
+    # slots today without the guard — with it, the total is poisoned
+    comp2, total2 = _emit(*args, seccap=sp)
+    assert int(np.asarray(total2)[0]) == -1, (
+        "sections over capacity must poison the total, not drop slots"
+    )
