@@ -18,7 +18,19 @@ def log(m): print(f"[{time.time()-t0:6.1f}s] {m}", flush=True)
 B = int(os.environ.get("SNAPPYTPU_DEC_B", "128"))
 NQ = int(os.environ.get("SNAPPYTPU_DEC_NQ", "4"))
 WHICH = os.environ.get("SNAPPYTPU_DEC_CORPUS", "mixed,text").split(",")
-log(f"backend {jax.default_backend()}")
+# which decoder to time: "dispatch" (production decode_blocks_vm), "2", "3"
+VM = os.environ.get("SNAPPYTPU_DEC_VM", "dispatch")
+# cache tag: bump when the ENCODER changes so cached compressed inputs are
+# not silently stale (the cache is keyed on corpus/q/B otherwise)
+TAG = os.environ.get("SNAPPYTPU_DEC_CACHETAG", "r4")
+log(f"backend {jax.default_backend()} vm={VM}")
+
+if VM == "2":
+    from snappytpu.kernels.decode_vm2 import decode_blocks_vm2 as DEC
+elif VM == "3":
+    from snappytpu.kernels.decode_vm3 import decode_blocks_vm3 as DEC
+else:
+    DEC = V.decode_blocks_vm
 
 makers = {
     "mixed": corpus.mixed,
@@ -31,7 +43,7 @@ enc = jax.jit(lambda b, n: E.encode_block_core(b, n, True))
 
 def prof(name, argsets, reps=3):
     g = jax.jit(lambda c, t, l: [jnp.sum(x[..., ::997].astype(jnp.int32))
-                                 for x in jax.tree.leaves(V.decode_blocks_vm(c, t, l))])
+                                 for x in jax.tree.leaves(DEC(c, t, l))])
     outs = [g(*a) for a in argsets]
     _ = [int(np.asarray(r[0])) for r in outs]
     best = 1e9
@@ -53,7 +65,7 @@ for which in WHICH:
     for q in range(NQ):
         # cache the encoded batches on disk: re-encoding + device->host
         # fetch over the tunnel costs minutes per run otherwise
-        cache = f"/tmp/decprof_{which}_{q}_{B}.npz"
+        cache = f"/tmp/decprof_{TAG}_{which}_{q}_{B}.npz"
         if os.path.exists(cache):
             z = np.load(cache)
             comp_np, totals_np, lens_np = z["comp"], z["totals"], z["lens"]
