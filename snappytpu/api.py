@@ -41,22 +41,13 @@ def _batched(nblocks: int):
         start += size
 
 
-def compress(data: bytes | np.ndarray, profile: str = "dense") -> bytes:
-    """Device-encode a byte string into a raw Snappy stream.
-
-    profile: "dense" (default, reference-BST-analog quality) or "fast"
-    (fewer candidate tiers, reference-hash-table analog)."""
-    arr = (
-        np.frombuffer(data, dtype=np.uint8)
-        if isinstance(data, (bytes, bytearray))
-        else np.ascontiguousarray(data, dtype=np.uint8)
-    )
-    if arr.size == 0:
-        return encode_varint(0)
+def encode_array_pieces(arr: np.ndarray, profile: str = "dense"):
+    """Device-encode a byte array, yielding compacted wire pieces (no
+    preamble) one device batch at a time — the shared inner loop of
+    compress() and the bounded-memory file codec (stream/filecodec.py)."""
     from . import cpu
 
     blocks, lens = framing.pack_blocks(arr)
-    pieces = [encode_varint(arr.size)]
     for start, size, bucket in _batched(blocks.shape[0]):
         bb = np.zeros((bucket, C.MAX_BLOCK_SIZE), dtype=np.uint8)
         bl = np.zeros(bucket, dtype=np.int32)
@@ -75,11 +66,27 @@ def compress(data: bytes | np.ndarray, profile: str = "dense") -> bytes:
         if cpu.available:
             # native variable-length row gather (memcpy speed) instead of a
             # per-block Python loop — at device GB/s this loop is the wall
-            pieces.append(cpu.compact(comp[:size], totals[:size]))
+            yield cpu.compact(comp[:size], totals[:size])
         else:
             for i in range(size):
-                pieces.append(comp[i, : totals[i]].tobytes())
-    return b"".join(pieces)
+                yield comp[i, : totals[i]].tobytes()
+
+
+def compress(data: bytes | np.ndarray, profile: str = "dense") -> bytes:
+    """Device-encode a byte string into a raw Snappy stream.
+
+    profile: "dense" (default, reference-BST-analog quality) or "fast"
+    (fewer candidate tiers, reference-hash-table analog)."""
+    arr = (
+        np.frombuffer(data, dtype=np.uint8)
+        if isinstance(data, (bytes, bytearray))
+        else np.ascontiguousarray(data, dtype=np.uint8)
+    )
+    if arr.size == 0:
+        return encode_varint(0)
+    return b"".join(
+        [encode_varint(arr.size)] + list(encode_array_pieces(arr, profile))
+    )
 
 
 def _decompress_windowed(split) -> bytes:

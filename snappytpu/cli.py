@@ -20,6 +20,7 @@ import os
 import sys
 
 from .bench.metrics import Result, Timer, write_result_csv
+from .format import constants as C
 
 
 def _codec(backend: str, profile: str = "dense"):
@@ -54,6 +55,13 @@ def main(argv=None):
     p.add_argument("paths", nargs="*", help="[verb] infile [outfile]")
     p.add_argument("--backend", default="device", choices=["device", "cpu", "model"])
     p.add_argument("--csv", help="append a reference-schema results row to FILE")
+    p.add_argument(
+        "--window-mb", type=int, default=0, metavar="MB",
+        help="stream file-to-file through a bounded window of this many MB "
+             "(device backend; 0 = auto: whole-buffer below 512 MB, 512 MB "
+             "windows above — the reference's block-streaming discipline, "
+             "snappy_compression.c:210, at device batch granularity)",
+    )
     args = p.parse_args(argv)
 
     # getopt-style flags take priority; otherwise the first positional may be
@@ -77,6 +85,34 @@ def main(argv=None):
     # -c maps to the fast profile, -b to dense — mirroring the reference's
     # hash-table vs BST compressor pair (cmd.c:64-84)
     profile = "fast" if (args.c and not args.b) else "dense"
+
+    # bounded-memory streaming path: file-to-file through a block window
+    # (stream/filecodec.py) — explicit via --window-mb, automatic for
+    # files too large to comfortably double-buffer in host RAM
+    in_size = os.path.getsize(infile)
+    auto_stream = args.window_mb == 0 and in_size >= (512 << 20)
+    if (args.window_mb > 0 or auto_stream) and args.backend == "device" and \
+            verb in ("compress", "decompress"):
+        from .stream import filecodec
+
+        wb = max((args.window_mb or 512) << 20, C.MAX_BLOCK_SIZE)
+        window_blocks = max(wb // C.MAX_BLOCK_SIZE, 1)
+        t = Timer().start()
+        if verb == "compress":
+            out_size = filecodec.compress_file(
+                infile, outfile, profile, window_blocks=window_blocks)
+        else:
+            out_size = filecodec.decompress_file(
+                infile, outfile, window_blocks=window_blocks)
+        took = t.stop()
+        result = Result(phase=verb, input_size=in_size, output_size=out_size,
+                        time_taken=took, backend=args.backend)
+        if args.r:
+            print(result.report())
+        if args.csv:
+            write_result_csv(args.csv, result)
+        return 0
+
     compress, decompress = _codec(args.backend, profile)
 
     with open(infile, "rb") as f:

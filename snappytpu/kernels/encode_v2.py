@@ -738,12 +738,13 @@ def _emit(blocks_u8, is_copy, ad, lead, tail, n, nsec=None, seccap=None):
     return out, total
 
 
-def encode_block_core(blocks_u8: jnp.ndarray, n: jnp.ndarray, dense: bool = True):
-    tiers = _find_matches(blocks_u8, n, dense=dense)
+def encode_block_core(blocks_u8: jnp.ndarray, n: jnp.ndarray, dense: bool = True,
+                      *, nsec=None, **match_kw):
+    tiers = _find_matches(blocks_u8, n, dense=dense, **match_kw)
     inh = _inherit(tiers, n)
     is_copy, ad, lead, tail = _elect(tiers, inh, n)
     is_copy, ad, lead, tail = _reglue(blocks_u8, is_copy, ad, lead, tail, n)
-    return _emit(blocks_u8, is_copy, ad, lead, tail, n)
+    return _emit(blocks_u8, is_copy, ad, lead, tail, n, nsec=nsec)
 
 
 @functools.partial(jax.jit, static_argnames=("dense",))

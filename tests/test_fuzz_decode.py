@@ -199,3 +199,92 @@ def test_vm_mutation_differential_device_streams(seed):
     assert v[0] == m[0], f"VM {v[0]} vs model {m[0]}"
     if v[0] == "ok":
         assert v[1] == m[1]
+
+
+# ---- windowed stream decoder differential (decode_vm2.decode_stream_vm +
+# framing.split_ops_windowed — the sliding-context path for streams whose
+# ops straddle 64 KiB output boundaries, snappy_decompression.c:154-161) ----
+
+
+def _windowed_result(ops: np.ndarray, out_len: int):
+    """Full windowed device pipeline verdict: host op-walk split + the
+    sliding-window kernel; reject = split refuses OR any chunk not-ok."""
+    from snappytpu.kernels.decode_vm2 import decode_stream_vm
+
+    if out_len > 1 << 21 or ops.size > 1 << 21:
+        return None  # resource guard for the test harness
+    try:
+        chunks, out_lens, ctx_lens = framing.split_ops_windowed(ops, out_len)
+    except (CorruptError, ValueError):
+        return ("reject", None)
+    padded, comp_lens = framing.pad_chunks(chunks)
+    out, ok = decode_stream_vm(
+        padded, comp_lens, np.asarray(out_lens, np.int32), ctx_lens,
+        np.zeros(C.MAX_BLOCK_SIZE, np.uint8),
+    )
+    out, ok = np.asarray(out), np.asarray(ok)
+    if not ok.all():
+        return ("reject", None)
+    return ("ok", b"".join(out[i, : out_lens[i]].tobytes()
+                           for i in range(len(out_lens))))
+
+
+def _unaligned_stream(rng, seed):
+    """A VALID stream whose op boundaries straddle the 64 KiB output grid:
+    a short literal prefix phase-shifts a model-encoded tail, so no
+    block-aligned split exists (split_ops_stream would refuse it)."""
+    shift = int(rng.integers(1, 60))
+    data = corpus.mixed(int(rng.integers(70_000, 150_000)), seed=seed)
+    head, tail = data[:shift], data[shift:]
+    tail_comp = np.frombuffer(model_compress(tail), np.uint8)
+    _, tail_start = framing.read_preamble(tail_comp)
+    lit = bytes([(shift - 1) << 2]) + head  # one inline-length literal op
+    ops = np.frombuffer(lit, np.uint8)
+    ops = np.concatenate([ops, tail_comp[tail_start:]])
+    return ops, len(data), data
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_windowed_mutation_differential(seed):
+    """Mutated non-block-splittable stream: the windowed device pipeline and
+    the model decoder must both reject or agree byte-for-byte."""
+    rng = np.random.default_rng(4000 + seed)
+    ops, out_len, data = _unaligned_stream(rng, seed)
+
+    w = _windowed_result(ops, out_len)
+    assert w == ("ok", data), "pristine unaligned stream must decode"
+
+    for _ in range(3):
+        mut = ops.copy()
+        for _m in range(int(rng.integers(1, 5))):
+            mut[int(rng.integers(0, mut.size))] ^= int(rng.integers(1, 256))
+        try:
+            m = ("ok", decode_ops(mut, out_len).tobytes())
+        except (CorruptError, ValueError):
+            m = ("reject", None)
+        w = _windowed_result(mut, out_len)
+        if w is None:
+            continue
+        assert w[0] == m[0], f"windowed {w[0]} vs model {m[0]}"
+        if w[0] == "ok":
+            assert w[1] == m[1]
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_windowed_truncation_differential(seed):
+    """Truncated non-block-splittable streams must be rejected by the
+    windowed pipeline exactly when the model rejects them."""
+    rng = np.random.default_rng(5000 + seed)
+    ops, out_len, _ = _unaligned_stream(rng, seed + 20)
+    for frac in (0.25, 0.6, 0.95):
+        cut = ops[: int(ops.size * frac)]
+        try:
+            m = ("ok", decode_ops(cut, out_len).tobytes())
+        except (CorruptError, ValueError):
+            m = ("reject", None)
+        w = _windowed_result(cut, out_len)
+        if w is None:
+            continue
+        assert w[0] == m[0]
+        if w[0] == "ok":
+            assert w[1] == m[1]

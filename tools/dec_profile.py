@@ -29,6 +29,8 @@ if VM == "2":
     from snappytpu.kernels.decode_vm2 import decode_blocks_vm2 as DEC
 elif VM == "3":
     from snappytpu.kernels.decode_vm3 import decode_blocks_vm3 as DEC
+elif VM == "4":
+    from snappytpu.kernels.decode_vm4 import decode_blocks_vm4 as DEC
 else:
     DEC = V.decode_blocks_vm
 
