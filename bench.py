@@ -3,24 +3,31 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "GB/s", "vs_baseline": N}
 
-vs_baseline compares against the reference C codec's measured 1 MB numbers
-(BASELINE.md: 58.7 MB/s encode, 134.6 MB/s decode -> 40.9 MB/s combined
-encode+decode throughput on one CPU core).
+Headline corpus (round 4+): the 128 MB Silesia stand-in — tiled real files
+from the reference checkout plus synthetic text/binary/runs segments
+(snappytpu/bench/corpus.py:silesia_standin) — matching BASELINE config 3's
+intent (a large mixed corpus; the true Silesia archive is unreachable from
+this sandbox, documented in README.md).  vs_baseline compares against the
+reference C codec's measured 1 MB numbers (BASELINE.md: 58.7 MB/s encode,
+134.6 MB/s decode -> 40.9 MB/s combined on one CPU core).
 
 Measurement methodology (this target is a TUNNELED TPU):
   * block_until_ready can return before execution finishes, so every timed
     call is a jit wrapper that reduces its outputs to a few scalars and the
     timer fetches them to host — the honest completion barrier;
   * one dispatch+fetch round trip costs ~15-30 ms, so work is queued as
-    NQ distinct 128-block batches per rep and the scalars are fetched once
-    at the end, amortizing the overhead;
-  * each batch holds DIFFERENT data (no reliance on runtime memoization
-    behavior), and reps take the best-of-N to shed tunnel jitter.
+    128-block batches and the scalars are fetched once per rep;
+  * data stays DEVICE-RESIDENT end to end: the compressed batches feed the
+    decoder without a host round trip, and the round trip is verified by a
+    device-side block-exact comparison — host<->device transfers over the
+    tunnel run at ~0.5 MB/s (three orders of magnitude below real PCIe)
+    and would otherwise dominate wall time without being chip work.
 
-SNAPPYTPU_BENCH_MB   total input size (default 32)
-SNAPPYTPU_BENCH_REPS timing repetitions (default 3)
-SNAPPYTPU_BENCH_PROFILE=1  also print a per-stage breakdown to stderr
-                           (wire-up of snappytpu.profiling.StageTimer)
+SNAPPYTPU_BENCH_MB       total input size (default 128)
+SNAPPYTPU_BENCH_REPS     timing repetitions (default 2)
+SNAPPYTPU_BENCH_CORPUS   silesia (default) | mixed  (mixed = rounds 1-3's
+                         32 MB headline corpus, kept for comparability)
+SNAPPYTPU_BENCH_DENSE=1  make dense the headline profile (fast default)
 """
 
 import json
@@ -36,17 +43,15 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from snappytpu import cpu  # noqa: E402
 from snappytpu.bench import corpus  # noqa: E402
 from snappytpu.format import constants as C  # noqa: E402
-from snappytpu.profiling import StageTimer  # noqa: E402
 
 # reference combined enc+dec MB/s at 1 MB (BASELINE.md)
 _REF_COMBINED_MBPS = 1.0 / (1.0 / 58.7 + 1.0 / 134.6)
 
-BENCH_MB = int(os.environ.get("SNAPPYTPU_BENCH_MB", "32"))
-REPS = int(os.environ.get("SNAPPYTPU_BENCH_REPS", "3"))
-PROFILE = os.environ.get("SNAPPYTPU_BENCH_PROFILE", "0") == "1"
+WHICH = os.environ.get("SNAPPYTPU_BENCH_CORPUS", "silesia")
+BENCH_MB = int(os.environ.get("SNAPPYTPU_BENCH_MB", "128" if WHICH == "silesia" else "32"))
+REPS = int(os.environ.get("SNAPPYTPU_BENCH_REPS", "2"))
 CHUNK = 128  # blocks per device dispatch (8 MiB input)
 
 
@@ -62,8 +67,12 @@ def main():
     from snappytpu.kernels.encode_v2 import encode_block_core
     from snappytpu.stream import framing
 
-    timer = StageTimer()
-    data = np.frombuffer(corpus.mixed(BENCH_MB << 20, seed=42), np.uint8)
+    t_start = time.time()
+    if WHICH == "silesia":
+        raw = corpus.silesia_standin(BENCH_MB << 20)[: BENCH_MB << 20]
+    else:
+        raw = corpus.mixed(BENCH_MB << 20, seed=42)
+    data = np.frombuffer(raw, np.uint8)
     blocks_np, lens_np = framing.pack_blocks(data)
     B = blocks_np.shape[0]
     nch = (B + CHUNK - 1) // CHUNK
@@ -72,33 +81,22 @@ def main():
     lp = np.zeros(pad_B, np.int32)
     bp[:B], lp[:B] = blocks_np, lens_np
 
-    with timer.stage("h2d"):
-        bl = [jax.device_put(jnp.asarray(bp[i * CHUNK : (i + 1) * CHUNK])) for i in range(nch)]
-        ll = [jax.device_put(jnp.asarray(lp[i * CHUNK : (i + 1) * CHUNK])) for i in range(nch)]
-        # force the transfers before timing compute
-        _ = [int(np.asarray(jnp.sum(b[..., ::997].astype(jnp.int32)))) for b in bl]
+    _log(f"staging {BENCH_MB} MB ({nch} batches) — slow over the tunnel")
+    bl = [jax.device_put(jnp.asarray(bp[i * CHUNK : (i + 1) * CHUNK])) for i in range(nch)]
+    ll = [jax.device_put(jnp.asarray(lp[i * CHUNK : (i + 1) * CHUNK])) for i in range(nch)]
+    _ = [int(np.asarray(jnp.sum(b[..., ::997].astype(jnp.int32)))) for b in bl]
+    _log(f"staged in {time.time()-t_start:.0f}s")
 
-    # Headline profile: "fast" (tier A + stride-4 deep tier + run tiers) —
-    # the analog of the reference's benchmarked hash compressor, and its
-    # measured ratio on this corpus exceeds the reference's (2.563 vs
-    # 2.552).  The "dense" profile (byte-resolution deep tier; compressed
-    # size <= the reference's on every fixture) is also measured and
-    # reported in the extra fields.
-    PROFILE_DENSE = os.environ.get("SNAPPYTPU_BENCH_DENSE", "0") == "1"
-    dense = PROFILE_DENSE
-
-    # timed wrappers: full computation + tiny reductions fetched as barrier
-    enc = jax.jit(lambda b, l: encode_block_core(b, l, dense))
+    # Headline profile: "fast" (the analog of the reference's benchmarked
+    # hash compressor; its corpus-aggregate ratio exceeds the reference's —
+    # a tested contract).  The "dense" profile (strict <=-reference size
+    # per fixture) is measured as the companion in the same run.
+    dense = os.environ.get("SNAPPYTPU_BENCH_DENSE", "0") == "1"
 
     @jax.jit
     def enc_timed(b, l):
         comp, totals = encode_block_core(b, l, dense)
         return jnp.sum(totals) + jnp.sum(comp[:, ::997].astype(jnp.int32))
-
-    @jax.jit
-    def dec_timed(c, t, l):
-        out, ok = decode_blocks_vm(c, t, l)
-        return jnp.sum(ok.astype(jnp.int32)) + jnp.sum(out[:, ::997].astype(jnp.int32))
 
     _log("warmup encode")
     _ = [int(np.asarray(enc_timed(b, l))) for b, l in zip(bl, ll)]
@@ -110,9 +108,6 @@ def main():
         _ = [int(np.asarray(s)) for s in sums]
         enc_s = min(enc_s, time.perf_counter() - t0)
 
-    # companion row: the OTHER profile's encode numbers in the same run
-    # (dense holds the strict <=-reference size contract; fast is the
-    # headline hash-compressor analog) — scalar fetches only
     @jax.jit
     def enc_other(b, l):
         comp, totals = encode_block_core(b, l, not dense)
@@ -128,57 +123,53 @@ def main():
         other_total = sum(int(np.asarray(s[1])) for s in sums)
         enc2_s = min(enc2_s, time.perf_counter() - t0)
 
-    _log("fetch compressed")
-    with timer.stage("fetch+host-assemble"):
-        comp_np, totals_np = [], []
-        for b, l in zip(bl, ll):
-            c, t = enc(b, l)
-            comp_np.append(np.asarray(c))
-            totals_np.append(np.asarray(t))
-        comp_np = np.concatenate(comp_np)[:B]
-        totals_np = np.concatenate(totals_np)[:B]
-        if cpu.available:  # the production host assembly path
-            _ = cpu.compact(comp_np, totals_np)
-    ratio = data.size / max(int(totals_np.sum()), 1)
+    # ---- device-resident handoff to decode (no tunnel round trip) ----
+    _log("encode for decode input (device-resident)")
 
-    with timer.stage("stage-decode-input"):
-        tl = np.zeros(pad_B, np.int32)
-        tl[:B] = totals_np
-        padded = np.zeros((pad_B, C.MAX_COMPRESSED_BLOCK_SIZE), dtype=np.uint8)
-        padded[:B, : comp_np.shape[1]] = comp_np
-        pcl = [jax.device_put(jnp.asarray(padded[i * CHUNK : (i + 1) * CHUNK])) for i in range(nch)]
-        tll = [jax.device_put(jnp.asarray(tl[i * CHUNK : (i + 1) * CHUNK])) for i in range(nch)]
-        _ = [int(np.asarray(jnp.sum(p[..., ::997].astype(jnp.int32)))) for p in pcl]
+    @jax.jit
+    def enc_keep(b, l):
+        return encode_block_core(b, l, dense)
+
+    comp_dev = [enc_keep(b, l) for b, l in zip(bl, ll)]
+    totals_sum = sum(int(np.asarray(jnp.sum(t))) for _c, t in comp_dev)
+    ratio = data.size / max(totals_sum, 1)
+
+    @jax.jit
+    def dec_timed(c, t, l):
+        out, ok = decode_blocks_vm(c, t, l)
+        return jnp.sum(ok.astype(jnp.int32)) + jnp.sum(out[:, ::997].astype(jnp.int32))
 
     _log("warmup decode")
-    _ = [int(np.asarray(dec_timed(p, t, l))) for p, t, l in zip(pcl, tll, ll)]
+    _ = [int(np.asarray(dec_timed(c, t, l))) for (c, t), l in zip(comp_dev, ll)]
     _log("timing decode")
     dec_s = 1e18
     for _ in range(REPS):
         t0 = time.perf_counter()
-        sums = [dec_timed(p, t, l) for p, t, l in zip(pcl, tll, ll)]
+        sums = [dec_timed(c, t, l) for (c, t), l in zip(comp_dev, ll)]
         _ = [int(np.asarray(s)) for s in sums]
         dec_s = min(dec_s, time.perf_counter() - t0)
 
-    _log("verify roundtrip")
-    with timer.stage("verify"):
-        out_np, ok_np = [], []
-        for p, t, l in zip(pcl, tll, ll):
-            o, ok = decode_blocks_vm(p, t, l)
-            out_np.append(np.asarray(o))
-            ok_np.append(np.asarray(ok))
-        out_np = np.concatenate(out_np)[:B]
-        ok_np = np.concatenate(ok_np)[:B]
-        assert bool(ok_np.all()), "decode flagged corrupt blocks"
-        rec = np.concatenate([out_np[i, : lens_np[i]] for i in range(B)])
-        assert np.array_equal(rec, data), "round trip mismatch"
+    _log("verify roundtrip (device-side block-exact comparison)")
 
-    if PROFILE:
-        _log("stage breakdown (untimed phases):\n" + timer.report())
+    @jax.jit
+    def dec_verify(c, t, l, ref_blocks):
+        out, ok = decode_blocks_vm(c, t, l)
+        match = jnp.sum((out == ref_blocks).all(axis=1).astype(jnp.int32))
+        return jnp.sum(ok.astype(jnp.int32)), match
+
+    okc = mc = 0
+    for (c, t), l, b in zip(comp_dev, ll, bl):
+        o = dec_verify(c, t, l, b)
+        okc += int(np.asarray(o[0]))
+        mc += int(np.asarray(o[1]))
+    assert okc == pad_B, f"decode flagged {pad_B - okc} blocks corrupt"
+    assert mc == pad_B, f"round trip mismatch on {pad_B - mc} blocks"
 
     gb = data.size / 1e9
     result = {
-        "metric": "encode+decode GB/s per chip (mixed corpus, round-trip verified)",
+        "metric": "encode+decode GB/s per chip "
+                  f"({'128 MB silesia stand-in' if WHICH == 'silesia' else 'mixed corpus'}, "
+                  "round-trip verified)",
         "value": round(gb / (enc_s + dec_s), 4),
         "unit": "GB/s",
         "vs_baseline": round(gb / (enc_s + dec_s) * 1000 / _REF_COMBINED_MBPS, 2),
@@ -190,6 +181,7 @@ def main():
         "companion_encode_gbps": round(gb / enc2_s, 4),
         "companion_ratio": round(data.size / max(other_total, 1), 4),
         "input_mb": BENCH_MB,
+        "corpus": WHICH,
         "backend": jax.default_backend(),
     }
     print(json.dumps(result))

@@ -512,9 +512,13 @@ def _reglue(blocks_u8, is_copy, ad, lead, tail, n):
     return is_copy, ad, lead, tail
 
 
-# 32 sections measured ~4-5 ms/batch faster than 16 on both profiles
-# (tools/enc_profile.py; shorter sort rows win until concat overhead bites)
-_NSEC = 32  # emission sections per block
+# Emission sections per block: 64 measured fastest on both profiles
+# (tools/enc_profile.py r4: fast 129.3 ms vs 132.4 at 32; dense 207.6 vs
+# 210.9 — shorter compaction-sort rows win until concat overhead bites).
+# Wire bytes are nsec-INVARIANT (section dests are disjoint contiguous
+# ranges, so per-section sorts + concat equal one global sort; verified
+# byte-identical across 32/64 on mixed/runs/text, both profiles).
+_NSEC = 64
 
 
 def _section_capacity(sp: int) -> int:

@@ -28,13 +28,27 @@ for q in range(NQ):
 _ = int(np.asarray(jnp.sum(batches[-1][0][..., ::997].astype(jnp.int32))))
 log("inputs staged")
 
+# optional third token selects a matcher-kwarg preset (tools/enc_variants.py)
+PRESETS = {
+    "": {},
+    "k12samp": dict(dense_keys=(0, 1, 2, 3, 4, 5, 6, 8, 10, 12, 14, 15)),
+    "k12samp+a5": dict(dense_keys=(0, 1, 2, 3, 4, 5, 6, 8, 10, 12, 14, 15),
+                       a_ranks=(1, 2, 3, 4, 5)),
+    "k10samp+a6": dict(dense_keys=(0, 1, 2, 3, 4, 6, 8, 10, 12, 14),
+                       a_ranks=(1, 2, 3, 4, 5, 6)),
+    "k14samp": dict(dense_keys=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 11, 13, 15)),
+    "k13samp": dict(dense_keys=(0, 1, 2, 3, 4, 5, 6, 7, 9, 11, 13, 15)),
+}
+
 for cfg in CFGS.split(","):
-    prof, nsec = cfg.split(":")
+    parts = cfg.split(":")
+    prof, nsec = parts[0], parts[1]
+    kw = PRESETS[parts[2]] if len(parts) > 2 else {}
     dense = prof == "dense"
     nsec = int(nsec)
 
-    def run(b, n, dense=dense, nsec=nsec):
-        tiers = E._find_matches(b, n, dense=dense)
+    def run(b, n, dense=dense, nsec=nsec, kw=kw):
+        tiers = E._find_matches(b, n, dense=dense, **kw)
         inh = E._inherit(tiers, n)
         ic, ad, ld, tl = E._elect(tiers, inh, n)
         ic, ad, ld, tl = E._reglue(b, ic, ad, ld, tl, n)
@@ -52,5 +66,5 @@ for cfg in CFGS.split(","):
         best = min(best, (time.perf_counter() - t1) / len(batches))
     mbs = B * 64 * 1024 / 1e6 / best
     log(f"encode {prof}:{nsec:3d}  {best*1000:8.2f} ms/batch  {mbs:7.1f} MB/s  "
-        f"ratio {B * 64 * 1024 / max(tot, 1):.3f}")
+        f"ratio {NQ * B * 64 * 1024 / max(tot, 1):.3f}")
 log("DONE")
