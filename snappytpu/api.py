@@ -89,28 +89,48 @@ def compress(data: bytes | np.ndarray, profile: str = "dense") -> bytes:
     )
 
 
+_WINDOWED_BATCH = 64  # chunks staged per decode_stream_vm call (~4.6 MB comp)
+
+
 def _decompress_windowed(split) -> bytes:
     """Device decode of a NON-block-splittable stream: chunks cut at op
     boundaries run through the sequential sliding-window kernel
     (decode_vm2.decode_stream_vm), the device analog of the reference's
-    128 KiB source-window refill (snappy_decompression.c:154-161)."""
+    128 KiB source-window refill (snappy_decompression.c:154-161).
+
+    Chunks are staged in bounded batches with the 64 KiB context tail
+    carried between kernel calls (the kernel's ctx0 input), so a multi-GB
+    unsplittable stream decodes incrementally instead of staging all its
+    padded chunks at once (ADVICE r3 #2)."""
     from .kernels.decode_vm2 import decode_stream_vm
 
     chunks, out_lens, ctx_lens = split
-    padded, comp_lens = framing.pad_chunks(chunks)
-    out, ok = decode_stream_vm(
-        padded,
-        comp_lens,
-        np.asarray(out_lens, np.int32),
-        ctx_lens,
-        np.zeros(C.MAX_BLOCK_SIZE, np.uint8),
-    )
-    out, ok = np.asarray(out), np.asarray(ok)
-    if not ok.all():
-        raise CorruptError(
-            f"malformed chunk(s) {np.nonzero(~ok)[0].tolist()} (windowed)"
+    N = len(chunks)
+    pieces = []
+    ctx0 = np.zeros(C.MAX_BLOCK_SIZE, np.uint8)
+    tail = b""  # last <= 64 KiB of decoded output so far
+    for k0 in range(0, N, _WINDOWED_BATCH):
+        k1 = min(k0 + _WINDOWED_BATCH, N)
+        padded, comp_lens = framing.pad_chunks(chunks[k0:k1])
+        ctx0[:] = 0
+        if tail:
+            ctx0[C.MAX_BLOCK_SIZE - len(tail):] = np.frombuffer(tail, np.uint8)
+        out, ok = decode_stream_vm(
+            padded,
+            comp_lens,
+            np.asarray(out_lens[k0:k1], np.int32),
+            np.asarray(ctx_lens[k0:k1], np.int32),
+            ctx0,
         )
-    return b"".join(out[i, : out_lens[i]].tobytes() for i in range(len(out_lens)))
+        out, ok = np.asarray(out), np.asarray(ok)
+        if not ok.all():
+            raise CorruptError(
+                f"malformed chunk(s) {(k0 + np.nonzero(~ok)[0]).tolist()} (windowed)"
+            )
+        batch = b"".join(out[i, : out_lens[k0 + i]].tobytes() for i in range(k1 - k0))
+        pieces.append(batch)
+        tail = (tail + batch)[-C.MAX_BLOCK_SIZE:]
+    return b"".join(pieces)
 
 
 def decompress(data: bytes | np.ndarray) -> bytes:

@@ -125,3 +125,34 @@ def test_giant_literal_falls_back_to_host():
     with pytest.raises(CorruptError):
         framing.split_ops_windowed(arr[start:], out_len)
     assert api.decompress(stream) == payload
+
+
+def test_windowed_api_batched_context_carry(monkeypatch):
+    """api._decompress_windowed stages chunks in bounded batches, carrying
+    the 64 KiB context tail between decode_stream_vm calls (ADVICE r3 #2):
+    force 2-chunk batches and decode an unaligned stream whose copies
+    reach across the batch seams."""
+    import numpy as np
+
+    from snappytpu import api
+    from snappytpu.bench import corpus
+    from snappytpu.model import compress as model_compress
+    from snappytpu.stream import framing
+
+    monkeypatch.setattr(api, "_WINDOWED_BATCH", 2)
+
+    # phase-shifted stream (op boundaries straddle the 64 KiB grid) with
+    # long-range repetition so copies cross chunk/batch boundaries
+    base = bytearray(corpus.mixed(150_000, seed=91))
+    base[70_000:130_000] = base[5_000:65_000]  # far repeats
+    data = bytes(base)
+    shift = 23
+    head, tail = data[:shift], data[shift:]
+    tail_comp = np.frombuffer(model_compress(tail), np.uint8)
+    _, tstart = framing.read_preamble(tail_comp)
+    lit = bytes([(shift - 1) << 2]) + head
+    ops = np.concatenate([np.frombuffer(lit, np.uint8), tail_comp[tstart:]])
+
+    split = framing.split_ops_windowed(ops, len(data))
+    assert len(split[0]) >= 3, "need multiple batches for the carry test"
+    assert api._decompress_windowed(split) == data
