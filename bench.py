@@ -59,7 +59,7 @@ def _log(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
-def main():
+def _measure(which, bench_mb, reps, dense):
     import jax
     import jax.numpy as jnp
 
@@ -68,10 +68,10 @@ def main():
     from snappytpu.stream import framing
 
     t_start = time.time()
-    if WHICH == "silesia":
-        raw = corpus.silesia_standin(BENCH_MB << 20)[: BENCH_MB << 20]
+    if which == "silesia":
+        raw = corpus.silesia_standin(bench_mb << 20)[: bench_mb << 20]
     else:
-        raw = corpus.mixed(BENCH_MB << 20, seed=42)
+        raw = corpus.mixed(bench_mb << 20, seed=42)
     data = np.frombuffer(raw, np.uint8)
     blocks_np, lens_np = framing.pack_blocks(data)
     B = blocks_np.shape[0]
@@ -81,17 +81,11 @@ def main():
     lp = np.zeros(pad_B, np.int32)
     bp[:B], lp[:B] = blocks_np, lens_np
 
-    _log(f"staging {BENCH_MB} MB ({nch} batches) — slow over the tunnel")
+    _log(f"staging {bench_mb} MB ({nch} batches) — slow over the tunnel")
     bl = [jax.device_put(jnp.asarray(bp[i * CHUNK : (i + 1) * CHUNK])) for i in range(nch)]
     ll = [jax.device_put(jnp.asarray(lp[i * CHUNK : (i + 1) * CHUNK])) for i in range(nch)]
     _ = [int(np.asarray(jnp.sum(b[..., ::997].astype(jnp.int32)))) for b in bl]
     _log(f"staged in {time.time()-t_start:.0f}s")
-
-    # Headline profile: "fast" (the analog of the reference's benchmarked
-    # hash compressor; its corpus-aggregate ratio exceeds the reference's —
-    # a tested contract).  The "dense" profile (strict <=-reference size
-    # per fixture) is measured as the companion in the same run.
-    dense = os.environ.get("SNAPPYTPU_BENCH_DENSE", "0") == "1"
 
     @jax.jit
     def enc_timed(b, l):
@@ -102,7 +96,7 @@ def main():
     _ = [int(np.asarray(enc_timed(b, l))) for b, l in zip(bl, ll)]
     _log("timing encode")
     enc_s = 1e18
-    for _ in range(REPS):
+    for _ in range(reps):
         t0 = time.perf_counter()
         sums = [enc_timed(b, l) for b, l in zip(bl, ll)]
         _ = [int(np.asarray(s)) for s in sums]
@@ -117,7 +111,7 @@ def main():
     _ = [int(np.asarray(enc_other(b, l)[0])) for b, l in zip(bl, ll)]
     enc2_s = 1e18
     other_total = 0
-    for _ in range(REPS):
+    for _ in range(reps):
         t0 = time.perf_counter()
         sums = [enc_other(b, l) for b, l in zip(bl, ll)]
         other_total = sum(int(np.asarray(s[1])) for s in sums)
@@ -143,7 +137,7 @@ def main():
     _ = [int(np.asarray(dec_timed(c, t, l))) for (c, t), l in zip(comp_dev, ll)]
     _log("timing decode")
     dec_s = 1e18
-    for _ in range(REPS):
+    for _ in range(reps):
         t0 = time.perf_counter()
         sums = [dec_timed(c, t, l) for (c, t), l in zip(comp_dev, ll)]
         _ = [int(np.asarray(s)) for s in sums]
@@ -166,24 +160,53 @@ def main():
     assert mc == pad_B, f"round trip mismatch on {pad_B - mc} blocks"
 
     gb = data.size / 1e9
-    result = {
-        "metric": "encode+decode GB/s per chip "
-                  f"({'128 MB silesia stand-in' if WHICH == 'silesia' else 'mixed corpus'}, "
-                  "round-trip verified)",
+    return {
         "value": round(gb / (enc_s + dec_s), 4),
-        "unit": "GB/s",
         "vs_baseline": round(gb / (enc_s + dec_s) * 1000 / _REF_COMBINED_MBPS, 2),
         "encode_gbps": round(gb / enc_s, 4),
         "decode_gbps": round(gb / dec_s, 4),
         "ratio": round(ratio, 4),
-        "profile": "dense" if dense else "fast",
-        "companion_profile": "fast" if dense else "dense",
         "companion_encode_gbps": round(gb / enc2_s, 4),
         "companion_ratio": round(data.size / max(other_total, 1), 4),
-        "input_mb": BENCH_MB,
-        "corpus": WHICH,
         "backend": jax.default_backend(),
     }
+
+
+def main():
+    # Headline profile: "fast" (the analog of the reference's benchmarked
+    # hash compressor; its corpus-aggregate ratio exceeds the reference's —
+    # a tested contract).  The "dense" profile (strict <=-reference size
+    # per fixture) is measured as the companion in the same run.
+    dense = os.environ.get("SNAPPYTPU_BENCH_DENSE", "0") == "1"
+    r = _measure(WHICH, BENCH_MB, REPS, dense)
+    result = {
+        "metric": "encode+decode GB/s per chip "
+                  f"({'128 MB silesia stand-in' if WHICH == 'silesia' else 'mixed corpus'}, "
+                  "round-trip verified)",
+        "value": r["value"],
+        "unit": "GB/s",
+        "vs_baseline": r["vs_baseline"],
+        "encode_gbps": r["encode_gbps"],
+        "decode_gbps": r["decode_gbps"],
+        "ratio": r["ratio"],
+        "profile": "dense" if dense else "fast",
+        "companion_profile": "fast" if dense else "dense",
+        "companion_encode_gbps": r["companion_encode_gbps"],
+        "companion_ratio": r["companion_ratio"],
+        "input_mb": BENCH_MB,
+        "corpus": WHICH,
+        "backend": r["backend"],
+    }
+    # cross-round comparability: rounds 1-3's headline was the 32 MB mixed
+    # corpus — measure it in the same run and report alongside
+    if WHICH == "silesia" and os.environ.get("SNAPPYTPU_BENCH_COMPANION32", "1") == "1":
+        _log("companion run: 32 MB mixed corpus (rounds 1-3 headline)")
+        m = _measure("mixed", 32, REPS, dense)
+        result["mixed32_gbps"] = m["value"]
+        result["mixed32_vs_baseline"] = m["vs_baseline"]
+        result["mixed32_encode_gbps"] = m["encode_gbps"]
+        result["mixed32_decode_gbps"] = m["decode_gbps"]
+        result["mixed32_ratio"] = m["ratio"]
     print(json.dumps(result))
 
 

@@ -75,7 +75,9 @@ from .decode_vm2 import (
 # Blocks interleaved per grid program.  Upper bound is SMEM: each block's
 # parse stream is a 73728-byte SMEM window, double-buffered by the pipeline,
 # against the chip's 1 MB SMEM — K = 8 measured 1.13 MB and was rejected by
-# the compiler; K = 6 fits (864 KB) and already saturates the latency hiding.
+# the compiler.  K = 6 measured FLAT on text (the ~42 live scalars plus six
+# vector dataflows hit the register-pressure wall that tools/probe_scalar.py's
+# bigstate sweep predicts); small K stays under it.
 K = 6
 
 
@@ -233,7 +235,7 @@ def _step_block(smem_ref, uni_ref, comp_len, out_len, st):
     )
 
 
-def _decode_kernel3(comp_lens_ref, out_lens_ref, *refs):
+def _decode_kernel3(comp_lens_ref, out_lens_ref, *refs, K):
     smems = refs[:K]
     comp_v_ref = refs[K]
     out_ref = refs[K + 1]
@@ -283,8 +285,9 @@ def _decode_kernel3(comp_lens_ref, out_lens_ref, *refs):
         ok_ref[j] = jnp.full((8, 128), ok, jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def decode_blocks_vm3(comp_u8: jnp.ndarray, comp_lens: jnp.ndarray, out_lens: jnp.ndarray):
+@functools.partial(jax.jit, static_argnames=("K",))
+def decode_blocks_vm3(comp_u8: jnp.ndarray, comp_lens: jnp.ndarray, out_lens: jnp.ndarray,
+                      K: int = K):
     """Batched block decode on the v3 interleaved VM: (B, PAD_OUT) uint8 +
     (B,) int32 x2 -> ((B, BS) uint8, (B,) bool).  Contract-identical to
     decode_vm2.decode_blocks_vm2 (0-length pad streams report ok); B is
@@ -324,7 +327,7 @@ def decode_blocks_vm3(comp_u8: jnp.ndarray, comp_lens: jnp.ndarray, out_lens: jn
         scratch_shapes=[pltpu.VMEM((UROWS, 128), jnp.int32) for _ in range(K)],
     )
     out_w, okm = pl.pallas_call(
-        _decode_kernel3,
+        functools.partial(_decode_kernel3, K=K),
         out_shape=[
             jax.ShapeDtypeStruct((Bp, OUT_ROWS, 128), jnp.int32),
             jax.ShapeDtypeStruct((Bp, 8, 128), jnp.int32),

@@ -28,7 +28,12 @@ log(f"backend {jax.default_backend()} vm={VM}")
 if VM == "2":
     from snappytpu.kernels.decode_vm2 import decode_blocks_vm2 as DEC
 elif VM == "3":
-    from snappytpu.kernels.decode_vm3 import decode_blocks_vm3 as DEC
+    import functools
+
+    from snappytpu.kernels.decode_vm3 import decode_blocks_vm3
+
+    DEC = functools.partial(
+        decode_blocks_vm3, K=int(os.environ.get("SNAPPYTPU_DEC_K", "6")))
 elif VM == "4":
     from snappytpu.kernels.decode_vm4 import decode_blocks_vm4 as DEC
 else:
