@@ -92,3 +92,39 @@ def test_vm_overlap_replication():
         out, ok = decode_blocks_vm(np.asarray(comp), np.asarray(totals), lens)
         assert np.asarray(ok).all()
         assert np.asarray(out)[0, : len(data)].tobytes() == data
+
+
+@pytest.mark.parametrize("kernel", ["vm2", "vm3k2", "vm3k6", "vm4"])
+def test_alternate_vms_match_production(kernel):
+    """The kept A/B kernels (v2 unified-image, v3 interleaved at two K,
+    v4 pipelined production) must agree bit-for-bit and flag-for-flag on
+    device-encoder streams — the suite-level guarantee that the retained
+    kernel generations stay interchangeable."""
+    import functools
+
+    from snappytpu.kernels.decode_vm2 import decode_blocks_vm2
+    from snappytpu.kernels.decode_vm3 import decode_blocks_vm3
+    from snappytpu.kernels.decode_vm4 import decode_blocks_vm4
+
+    fns = {
+        "vm2": decode_blocks_vm2,
+        "vm3k2": functools.partial(decode_blocks_vm3, K=2),
+        "vm3k6": functools.partial(decode_blocks_vm3, K=6),
+        "vm4": decode_blocks_vm4,
+    }
+    data = CASES["mixed100k"]
+    arr = np.frombuffer(data, np.uint8)
+    blocks, lens = framing.pack_blocks(arr)
+    comp, totals = encode_blocks_v2(blocks, lens)
+    comp, totals = np.asarray(comp), np.asarray(totals)
+    ref_out, ref_ok = map(np.asarray, decode_blocks_vm(comp, totals, lens))
+    out, ok = map(np.asarray, fns[kernel](comp, totals, lens))
+    assert np.array_equal(ok, ref_ok) and ref_ok.all()
+    assert np.array_equal(out, ref_out)
+
+    # and on a malformed stream: identical verdicts
+    bad = comp.copy()
+    bad[0, 3] ^= 0xFF
+    r2 = np.asarray(decode_blocks_vm(bad, totals, lens)[1])
+    r1 = np.asarray(fns[kernel](bad, totals, lens)[1])
+    assert np.array_equal(r1, r2)
