@@ -33,11 +33,11 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
 
 
 @functools.lru_cache(maxsize=8)
-def sharded_encode(mesh: Mesh):
+def sharded_encode(mesh: Mesh, dense: bool = True):
     """shard_map'ed batched encoder: blocks row-sharded over the mesh."""
     return jax.jit(
         jax.shard_map(
-            encode_blocks,
+            functools.partial(encode_blocks, dense=dense),
             mesh=mesh,
             in_specs=(P(AXIS, None), P(AXIS)),
             out_specs=(P(AXIS, None), P(AXIS)),
@@ -78,7 +78,8 @@ def _fetch(x) -> np.ndarray:
     return np.asarray(x)
 
 
-def encode_mesh(mesh: Mesh, blocks: np.ndarray, lens: np.ndarray):
+def encode_mesh(mesh: Mesh, blocks: np.ndarray, lens: np.ndarray,
+                profile: str = "dense"):
     """Encode (B, BS) blocks data-parallel over the mesh.
 
     Pads the batch to a multiple of the mesh size with zero-length blocks
@@ -93,7 +94,7 @@ def encode_mesh(mesh: Mesh, blocks: np.ndarray, lens: np.ndarray):
     sharding = NamedSharding(mesh, P(AXIS, None))
     bb = jax.device_put(bb, sharding)
     bl = jax.device_put(bl, NamedSharding(mesh, P(AXIS)))
-    comp, totals = sharded_encode(mesh)(bb, bl)
+    comp, totals = sharded_encode(mesh, profile != "fast")(bb, bl)
     return _fetch(comp)[:B], _fetch(totals)[:B]
 
 

@@ -80,7 +80,7 @@ def timed(fn, argsets, reps=3):
 # both sides use an identical small-fetch barrier (totals, 512 B/batch)
 # so the comparison carries the same per-call fetch cost.
 enc_direct = jax.jit(lambda b, l: encode_block_core(b, l, dense))
-enc_mesh = MS.sharded_encode(mesh)
+enc_mesh = MS.sharded_encode(mesh, dense)
 
 
 def timed2(fn, argsets, reps=3):
