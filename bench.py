@@ -24,7 +24,7 @@ Measurement methodology (this target is a TUNNELED TPU):
     and would otherwise dominate wall time without being chip work.
 
 SNAPPYTPU_BENCH_MB       total input size (default 128)
-SNAPPYTPU_BENCH_REPS     timing repetitions (default 2)
+SNAPPYTPU_BENCH_REPS     timing repetitions (default 5)
 SNAPPYTPU_BENCH_CORPUS   silesia (default) | mixed  (mixed = rounds 1-3's
                          32 MB headline corpus, kept for comparability)
 SNAPPYTPU_BENCH_DENSE=1  make dense the headline profile (fast default)
@@ -51,7 +51,7 @@ _REF_COMBINED_MBPS = 1.0 / (1.0 / 58.7 + 1.0 / 134.6)
 
 WHICH = os.environ.get("SNAPPYTPU_BENCH_CORPUS", "silesia")
 BENCH_MB = int(os.environ.get("SNAPPYTPU_BENCH_MB", "128" if WHICH == "silesia" else "32"))
-REPS = int(os.environ.get("SNAPPYTPU_BENCH_REPS", "2"))
+REPS = int(os.environ.get("SNAPPYTPU_BENCH_REPS", "5"))
 CHUNK = 128  # blocks per device dispatch (8 MiB input)
 
 
@@ -181,7 +181,7 @@ def main():
     r = _measure(WHICH, BENCH_MB, REPS, dense)
     result = {
         "metric": "encode+decode GB/s per chip "
-                  f"({'128 MB silesia stand-in' if WHICH == 'silesia' else 'mixed corpus'}, "
+                  f"({f'{BENCH_MB} MB silesia stand-in' if WHICH == 'silesia' else 'mixed corpus'}, "
                   "round-trip verified)",
         "value": r["value"],
         "unit": "GB/s",
@@ -196,7 +196,20 @@ def main():
         "input_mb": BENCH_MB,
         "corpus": WHICH,
         "backend": r["backend"],
+        "reps": REPS,
     }
+    # vs_host_reference: the rebuilt reference C binary (-O2) timed on THIS
+    # host on the same corpus (tools/ref_host_bench.py writes the summary);
+    # vs_baseline stays pinned to BASELINE.md for round-over-round comparability.
+    refhost = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "Test_results_tpu", "refhost_summary.json")
+    if os.path.exists(refhost):
+        with open(refhost) as f:
+            rh = json.load(f)
+        key = "combined_mbps_silesia128" if WHICH == "silesia" else "combined_mbps_mixed32"
+        if key in rh:
+            result["vs_host_reference"] = round(r["value"] * 1000 / rh[key], 2)
+            result["host_reference_mbps"] = rh[key]
     # cross-round comparability: rounds 1-3's headline was the 32 MB mixed
     # corpus — measure it in the same run and report alongside
     if WHICH == "silesia" and os.environ.get("SNAPPYTPU_BENCH_COMPANION32", "1") == "1":

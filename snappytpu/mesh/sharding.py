@@ -95,7 +95,16 @@ def encode_mesh(mesh: Mesh, blocks: np.ndarray, lens: np.ndarray,
     bb = jax.device_put(bb, sharding)
     bl = jax.device_put(bl, NamedSharding(mesh, P(AXIS)))
     comp, totals = sharded_encode(mesh, profile != "fast")(bb, bl)
-    return _fetch(comp)[:B], _fetch(totals)[:B]
+    comp, totals = _fetch(comp)[:B], _fetch(totals)[:B]
+    if (totals < 0).any():
+        # Same no-silent-truncation contract as api.encode_array_pieces: a
+        # negative total is the encoder's in-jit capacity poison (ADVICE r4 #2).
+        bad = np.nonzero(totals < 0)[0]
+        raise ValueError(
+            f"block(s) {bad.tolist()} exceeded the emission capacity bound; "
+            f"incompressible data this adversarial must be stored raw"
+        )
+    return comp, totals
 
 
 def decode_mesh(mesh: Mesh, comp: np.ndarray, comp_lens: np.ndarray, out_lens: np.ndarray):

@@ -95,6 +95,15 @@ def decompress_file(src: str | os.PathLike, dst: str | os.PathLike,
         return len(data)
 
     ends = np.concatenate([offs[1:], [ops.size]])
+    if (ends - offs > C.MAX_COMPRESSED_BLOCK_SIZE).any():
+        # A valid stream (e.g. all-1-byte-literal encodings) can carry more
+        # than MAX_COMPRESSED_BLOCK_SIZE compressed bytes per 64 KiB block;
+        # split_rows would reject it, but api.decompress's windowed path
+        # handles it — route there instead of erroring (ADVICE r4 #1).
+        data = api.decompress(np.asarray(m))
+        with open(dst, "wb") as w:
+            w.write(data)
+        return len(data)
     nb = offs.size
     written = 0
     with open(dst, "wb") as w:

@@ -77,3 +77,24 @@ def test_cli_window_flag(tmp_path):
     assert cli.main(["-d", str(comp), str(out), "--window-mb", "1"]) == 0
     assert out.read_bytes() == data
     assert comp.read_bytes() == api.compress(data)
+
+
+def test_oversized_compressed_block_falls_back(tmp_path):
+    """A VALID stream whose per-block compressed span exceeds
+    MAX_COMPRESSED_BLOCK_SIZE (e.g. all 1-byte literals: 2 comp bytes per
+    output byte = 131072 B per 64 KiB block) must decode through
+    decompress_file, not raise (ADVICE r4 #1): it routes to the in-memory
+    windowed path."""
+    from snappytpu.format.varint import encode_varint
+
+    data = corpus.mixed(2 * 65536 + 100, seed=33)
+    stream = bytearray(encode_varint(len(data)))
+    for b in data:
+        stream += bytes([0x00, b])  # literal, length 1
+    comp = tmp_path / "c.snappy"
+    out = tmp_path / "out.raw"
+    comp.write_bytes(bytes(stream))
+    assert api.decompress(bytes(stream)) == data  # sanity: in-memory path
+    n = filecodec.decompress_file(comp, out, window_blocks=1)
+    assert n == len(data)
+    assert out.read_bytes() == data

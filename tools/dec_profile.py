@@ -20,9 +20,12 @@ NQ = int(os.environ.get("SNAPPYTPU_DEC_NQ", "4"))
 WHICH = os.environ.get("SNAPPYTPU_DEC_CORPUS", "mixed,text").split(",")
 # which decoder to time: "dispatch" (production decode_blocks_vm), "2", "3"
 VM = os.environ.get("SNAPPYTPU_DEC_VM", "dispatch")
-# cache tag: bump when the ENCODER changes so cached compressed inputs are
-# not silently stale (the cache is keyed on corpus/q/B otherwise)
-TAG = os.environ.get("SNAPPYTPU_DEC_CACHETAG", "r4")
+# cache key: hash of the encoder module source + profile, so cached
+# compressed inputs can never go silently stale when the encoder changes
+# (VERDICT r4 weak #7 — replaces the manual TAG bump)
+import hashlib
+with open(E.__file__, "rb") as _f:
+    TAG = hashlib.sha256(_f.read()).hexdigest()[:12] + "-dense"
 log(f"backend {jax.default_backend()} vm={VM}")
 
 if VM == "2":
@@ -36,6 +39,11 @@ elif VM == "3":
         decode_blocks_vm3, K=int(os.environ.get("SNAPPYTPU_DEC_K", "6")))
 elif VM == "4":
     from snappytpu.kernels.decode_vm4 import decode_blocks_vm4 as DEC
+elif VM == "tape":
+    # movement-only VM on host-built tapes: argsets are (tapes, nrecs, comp)
+    # — the tape build is host work measured separately (it replaces the
+    # device parse chain; see kernels/decode_tape.py)
+    from snappytpu.kernels.decode_tape import _run_tape as DEC
 else:
     DEC = V.decode_blocks_vm
 
@@ -85,6 +93,17 @@ for which in WHICH:
             comp_np, totals_np = np.asarray(comp), np.asarray(totals)
             lens_np = np.asarray(lens_np[:B], np.int32)
             np.savez_compressed(cache, comp=comp_np, totals=totals_np, lens=lens_np)
+        if VM == "tape":
+            from snappytpu import cpu as scpu
+            from snappytpu.kernels import decode_tape as DT
+            from snappytpu.kernels.decode_vm2 import COMP_OFF, OUT_BASE
+            tapes, nrecs = scpu.build_tapes(
+                comp_np, totals_np, lens_np, COMP_OFF, OUT_BASE, DT.TAPE_MAX)
+            assert (nrecs >= 0).all(), f"{which}: tape overflow/malformed {nrecs.min()}"
+            sets.append((jax.device_put(jnp.asarray(tapes)),
+                         jax.device_put(jnp.asarray(nrecs)),
+                         jax.device_put(jnp.asarray(comp_np))))
+            continue
         sets.append((jax.device_put(jnp.asarray(comp_np)),
                      jax.device_put(jnp.asarray(totals_np)),
                      jax.device_put(jnp.asarray(lens_np, jnp.int32))))

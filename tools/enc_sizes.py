@@ -37,11 +37,24 @@ def ref_best(data: bytes) -> int:
 
 
 bad = 0
+rows = []
 for name, data in sorted(FIX.items()):
     rb = ref_best(data) if exe else -1
     dn = len(api.compress(data, profile="dense"))
     fa = len(api.compress(data, profile="fast"))
     ok = "OK " if (rb < 0 or dn <= rb) else "FAIL"
     bad += ok == "FAIL"
+    rows.append((name, len(data), rb, dn, fa, rb - dn, rb - fa))
     print(f"{ok} {name:28s} ref {rb:8d}  dense {dn:8d} ({rb-dn:+6d})  fast {fa:8d} ({rb-fa:+6d})", flush=True)
 print("STRICT-CONTRACT:", "PASS" if bad == 0 else f"{bad} FAIL")
+
+# committed, diffable margin history (VERDICT r4 demand #6): regenerated each
+# round so a thinning contract margin shows up in the diff, not just in a
+# suite failure after the margin is gone
+out_csv = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "Test_results_tpu", "size_margins.csv")
+with open(out_csv, "w") as f:
+    f.write("fixture,input_size,ref_best,dense,fast,dense_margin,fast_margin\n")
+    for r in rows:
+        f.write(",".join(str(x) for x in r) + "\n")
+print(f"wrote {out_csv}")
