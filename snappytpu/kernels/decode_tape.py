@@ -24,6 +24,8 @@ no reference analog (single-threaded C there).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -139,6 +141,112 @@ def _run_tape(tapes: jnp.ndarray, nrecs: jnp.ndarray, comp_u8: jnp.ndarray):
     )  # nrecs is the single prefetch operand; tape + comp stream per block
     out = _unpack_words(out_w.reshape(B, OUT_ROWS * 128))
     ok = okm[:, 0, 0] == 1
+    return out, ok
+
+
+def _tape_kernel_k(K):
+    """K-way block-interleaved movement kernel: one grid step drives K
+    independent interpreters on K separate VMEM images.  The per-record
+    chain is latency-bound (~170 ns: SMEM record -> window -> RMW), and a
+    single block's pieces are serially dependent through its image — but
+    DIFFERENT blocks' chains are independent, and separate scratch refs
+    make that independence visible to the compiler (unlike v3's attempt,
+    whose 42-scalar parse states hit the register wall: tape state is 5
+    scalars per block)."""
+
+    def kern(nrecs_ref, tape_ref, comp_v_ref, out_ref, ok_ref, *unis):
+        g = pl.program_id(0)
+        nrs = [nrecs_ref[g * K + k] for k in range(K)]
+        nrmax = nrs[0]
+        for k in range(1, K):
+            nrmax = jnp.maximum(nrmax, nrs[k])
+        for k in range(K):
+            unis[k][0:1, :] = jnp.zeros((1, 128), jnp.int32)
+            unis[k][1 : 1 + COMP_ROWS, :] = comp_v_ref[0, k]
+            unis[k][1 + COMP_ROWS : UROWS, :] = jnp.zeros(
+                (UROWS - COMP_ROWS - 1, 128), jnp.int32
+            )
+
+        def load(k, r):
+            rc = jnp.minimum(r, TAPE_MAX - 1)
+            return tape_ref[2 * (k * TAPE_MAX + rc)], tape_ref[2 * (k * TAPE_MAX + rc) + 1]
+
+        def move(k, w0, w1, live):
+            lp = w0 >> 20
+            pk2 = (w0 >> 18) & 3
+
+            @pl.when(live & (pk2 == 0))
+            def _():
+                _piece(unis[k], w0 & 0x3FFFF, w1, lp)
+
+            @pl.when(live & (pk2 > 0))
+            def _():
+                _pattern(unis[k], w1, lp, jnp.where(pk2 == 3, 4, pk2))
+
+        def step(st):
+            r, q = st
+            nxt = tuple(load(k, r + 1) for k in range(K))
+            for k in range(K):
+                move(k, q[k][0], q[k][1], r < nrs[k])
+            return r + 1, nxt
+
+        st = lax.while_loop(
+            lambda st: st[0] < nrmax,
+            lambda st: step(step(st)),
+            (jnp.int32(0), tuple(load(k, jnp.int32(0)) for k in range(K))),
+        )
+        orow = OUT_BASE // 512
+        for k in range(K):
+            out_ref[0, k] = unis[k][orow : orow + OUT_ROWS, :]
+        okv = (nrs[0] >= 0).astype(jnp.int32)
+        ok_ref[0, 0] = jnp.full((8, 128), okv, jnp.int32)
+        for k in range(1, K):
+            ok_ref[0, k] = jnp.full((8, 128), (nrs[k] >= 0).astype(jnp.int32), jnp.int32)
+
+    return kern
+
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def _run_tape_k(tapes: jnp.ndarray, nrecs: jnp.ndarray, comp_u8: jnp.ndarray,
+                K: int = 4):
+    """K-interleaved variant of _run_tape; B must be a multiple of K.
+    Blocks g*K..g*K+K-1 decode together; pair blocks with similar record
+    counts (sort by nrecs) to minimize drained-lane waste."""
+    B = comp_u8.shape[0]
+    assert B % K == 0
+    comp_w = _pack_words(jnp.asarray(comp_u8), CW)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // K,),
+        in_specs=[
+            pl.BlockSpec((2 * K * TAPE_MAX,), lambda g, *_: (g,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, K, COMP_ROWS, 128), lambda g, *_: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, K, OUT_ROWS, 128), lambda g, *_: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, 8, 128), lambda g, *_: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((UROWS, 128), jnp.int32) for _ in range(K)],
+    )
+    out_w, okm = pl.pallas_call(
+        _tape_kernel_k(K),
+        out_shape=[
+            jax.ShapeDtypeStruct((B // K, K, OUT_ROWS, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B // K, K, 8, 128), jnp.int32),
+        ],
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(
+        jnp.asarray(nrecs, jnp.int32),
+        jnp.asarray(tapes, jnp.int32).reshape(B * 2 * TAPE_MAX),
+        comp_w.reshape(B // K, K, COMP_ROWS, 128),
+    )
+    out = _unpack_words(out_w.reshape(B, OUT_ROWS * 128))
+    ok = okm.reshape(B, 8, 128)[:, 0, 0] == 1
     return out, ok
 
 

@@ -92,6 +92,22 @@ def test_tape_overflow_falls_back_to_vm():
     assert out[0, :n].tobytes() == raw
 
 
+def test_tape_k_interleaved_matches_flat():
+    """The K-interleaved movement kernel (closed experiment: measured flat
+    vs K=1, PROFILE.md r5 — the serial resource is the dynamic-row VMEM
+    access, not cross-chain dependence) must stay byte-identical."""
+    from snappytpu.kernels.decode_tape import _run_tape, _run_tape_k
+
+    data = corpus.mixed(4 * C.MAX_BLOCK_SIZE, seed=13)
+    comp, totals, lens = _encode(data)
+    tapes, nrecs = build_tapes(comp, totals, lens)
+    assert (nrecs >= 0).all()
+    o1, k1 = map(np.asarray, _run_tape(tapes, nrecs, comp))
+    o2, k2 = map(np.asarray, _run_tape_k(tapes, nrecs, comp, K=2))
+    np.testing.assert_array_equal(k1, k2)
+    np.testing.assert_array_equal(o1, o2)
+
+
 def test_tape_zero_length_pad_blocks_ok():
     comp = np.zeros((2, C.MAX_COMPRESSED_BLOCK_SIZE), np.uint8)
     out, ok = decode_blocks_tape(comp, np.zeros(2, np.int32), np.zeros(2, np.int32))
