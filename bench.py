@@ -52,7 +52,8 @@ _REF_COMBINED_MBPS = 1.0 / (1.0 / 58.7 + 1.0 / 134.6)
 WHICH = os.environ.get("SNAPPYTPU_BENCH_CORPUS", "silesia")
 BENCH_MB = int(os.environ.get("SNAPPYTPU_BENCH_MB", "128" if WHICH == "silesia" else "32"))
 REPS = int(os.environ.get("SNAPPYTPU_BENCH_REPS", "5"))
-CHUNK = 128  # blocks per device dispatch (8 MiB input)
+CHUNK = 128   # blocks per encode dispatch (8 MiB input)
+DCHUNK = 512  # blocks per decode dispatch (32 MiB; see dec_in regrouping)
 
 
 def _log(msg):
@@ -128,18 +129,35 @@ def _measure(which, bench_mb, reps, dense):
     totals_sum = sum(int(np.asarray(jnp.sum(t))) for _c, t in comp_dev)
     ratio = data.size / max(totals_sum, 1)
 
+    # decode dispatches carry DCHUNK blocks: each dispatch costs ~23 ms of
+    # non-pipelining tunnel overhead (measured, tools notes r5) and the
+    # decode grid amortizes it — 512-block dispatches measured +29% over
+    # 128 (the encoder measured flat at 256 and worse at 512, so encode
+    # keeps CHUNK).  Regrouping is device-side concatenation, not a fetch.
+    group = max(DCHUNK // CHUNK, 1)
+    cat = jax.jit(lambda xs: jnp.concatenate(xs, axis=0))
+    dec_in = []
+    for i in range(0, nch, group):
+        j = min(i + group, nch)
+        dec_in.append((
+            cat([comp_dev[k][0] for k in range(i, j)]),
+            cat([comp_dev[k][1] for k in range(i, j)]),
+            cat([ll[k] for k in range(i, j)]),
+            cat([bl[k] for k in range(i, j)]),
+        ))
+
     @jax.jit
     def dec_timed(c, t, l):
         out, ok = decode_blocks_vm(c, t, l)
         return jnp.sum(ok.astype(jnp.int32)) + jnp.sum(out[:, ::997].astype(jnp.int32))
 
     _log("warmup decode")
-    _ = [int(np.asarray(dec_timed(c, t, l))) for (c, t), l in zip(comp_dev, ll)]
+    _ = [int(np.asarray(dec_timed(c, t, l))) for c, t, l, _b in dec_in]
     _log("timing decode")
     dec_s = 1e18
     for _ in range(reps):
         t0 = time.perf_counter()
-        sums = [dec_timed(c, t, l) for (c, t), l in zip(comp_dev, ll)]
+        sums = [dec_timed(c, t, l) for c, t, l, _b in dec_in]
         _ = [int(np.asarray(s)) for s in sums]
         dec_s = min(dec_s, time.perf_counter() - t0)
 
@@ -152,7 +170,7 @@ def _measure(which, bench_mb, reps, dense):
         return jnp.sum(ok.astype(jnp.int32)), match
 
     okc = mc = 0
-    for (c, t), l, b in zip(comp_dev, ll, bl):
+    for c, t, l, b in dec_in:
         o = dec_verify(c, t, l, b)
         okc += int(np.asarray(o[0]))
         mc += int(np.asarray(o[1]))

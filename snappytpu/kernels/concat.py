@@ -57,10 +57,22 @@ def concat_rows(pieces: jnp.ndarray, lens: jnp.ndarray, out_cap: int):
     sum(lens[b]) <= out_cap.
     """
     B, S, CAP = pieces.shape
+    words = _pack_words(pieces.reshape(B, S * CAP), S * CAP // 4)
+    return concat_rows_words(words.reshape(B, S, CAP // 4), lens, out_cap)
+
+
+def concat_rows_words(words: jnp.ndarray, lens: jnp.ndarray, out_cap: int):
+    """concat_rows for callers that already hold packed little-endian words:
+    (B, S, CAP/4) int32 + byte lens -> (B, out_cap) uint8.  Skipping the
+    u8->word repack matters: _pack_words' (.., ncols, 4) intermediate pads
+    its minor dim to 128 lanes on this target — a 32x-inflated HBM
+    temporary (6 GB at B=512) that capped the batch size and taxed every
+    encode dispatch."""
+    B, S, CAPW = words.shape
+    CAP = CAPW * 4
     assert CAP % 512 == 0 and out_cap % 512 == 0
     src_rows = S * CAP // 512
     out_rows = out_cap // 512
-    words = _pack_words(pieces.reshape(B, S * CAP), S * CAP // 4)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -79,5 +91,6 @@ def concat_rows(pieces: jnp.ndarray, lens: jnp.ndarray, out_cap: int):
         out_shape=jax.ShapeDtypeStruct((B, out_rows, 128), jnp.int32),
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(jnp.asarray(lens, jnp.int32).reshape(B * S), words.reshape(B, src_rows, 128))
+    )(jnp.asarray(lens, jnp.int32).reshape(B * S),
+      jnp.asarray(words).reshape(B, src_rows, 128))
     return _unpack_words(out_w.reshape(B, out_rows * 128))

@@ -360,17 +360,18 @@ def _decode_kernel(comp_lens_ref, out_lens_ref, smem_ref, comp_v_ref,
 
 
 def _pack_words(u8: jnp.ndarray, ncols: int) -> jnp.ndarray:
-    b = u8.reshape(u8.shape[0], ncols, 4).astype(jnp.uint32)
-    w = b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16) | (b[..., 3] << 24)
-    return w.astype(jnp.int32)
+    # bitcast, not shift-assemble: a (.., ncols, 4) uint32 intermediate
+    # pads its minor dim to 128 lanes on this target (32x HBM inflation)
+    return lax.bitcast_convert_type(
+        u8.reshape(u8.shape[0], ncols, 4), jnp.int32
+    )
 
 
 def _unpack_words(w: jnp.ndarray) -> jnp.ndarray:
-    u = w.astype(jnp.uint32)
-    parts = jnp.stack(
-        [(u >> jnp.uint32(8 * k)) & 0xFF for k in range(4)], axis=-1
-    ).astype(jnp.uint8)
-    return parts.reshape(w.shape[0], w.shape[1] * 4)
+    # bitcast for the same padded-intermediate reason as _pack_words
+    return lax.bitcast_convert_type(w, jnp.uint8).reshape(
+        w.shape[0], w.shape[1] * 4
+    )
 
 
 @jax.jit

@@ -62,7 +62,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..format import constants as C
-from .concat import concat_rows
+from .concat import concat_rows_words
 
 BS = C.MAX_BLOCK_SIZE
 PAD_OUT = C.MAX_COMPRESSED_BLOCK_SIZE
@@ -744,13 +744,18 @@ def _emit(blocks_u8, is_copy, ad, lead, tail, n, nsec=None, seccap=None):
     ).reshape(B * nsec, 2 * sp)
     (ss,) = lax.sort((slots,), dimension=1, num_keys=1)
     # valid pair indices are 0..ceil(sec_cnt/2)-1 contiguous (one slot per
-    # pair), so sorted rank == pair index and the two bytes interleave back
-    paircap = (seccap + 1) // 2
+    # pair), so sorted rank == pair index.  Two consecutive pair slots make
+    # one little-endian output word — built with shifts on the 2D sorted
+    # array (NO stack/interleave: a (.., n, 2) intermediate pads its minor
+    # dim to 128 lanes on this target, a 64x-inflated HBM temporary that
+    # OOMed at B=512 and taxed every batch), feeding the words-native
+    # funnel concat directly.
+    paircap = (seccap + 1) // 2 + ((seccap + 1) // 2 & 1)  # even # of pairs
     sp2 = ss[:, :paircap]
-    sec_bytes = (
-        jnp.stack([(sp2 >> 8) & 0xFF, sp2 & 0xFF], axis=2)
-        .reshape(B, nsec, 2 * paircap)[:, :, :seccap]
-        .astype(jnp.uint8)
+    e, o = sp2[:, 0::2], sp2[:, 1::2]
+    sec_words = (
+        ((e >> 8) & 0xFF) | ((e & 0xFF) << 8)
+        | ((o & 0xFF00) << 8) | ((o & 0xFF) << 24)
     )
     sec_cnt = jnp.sum(size.reshape(B, nsec, sp), axis=2, dtype=jnp.int32)
     # capacity guard: a section needing more than seccap bytes would have
@@ -760,7 +765,10 @@ def _emit(blocks_u8, is_copy, ad, lead, tail, n, nsec=None, seccap=None):
     # _section_capacity and cannot be hit by legal emission geometry.
     overflow = jnp.any(sec_cnt > seccap, axis=1)
     total = jnp.where(overflow, jnp.int32(-1), total)
-    out = concat_rows(sec_bytes, jnp.minimum(sec_cnt, seccap), PAD_OUT)
+    out = concat_rows_words(
+        sec_words.reshape(B, nsec, sec_words.shape[1]),
+        jnp.minimum(sec_cnt, seccap), PAD_OUT,
+    )
     return out, total
 
 

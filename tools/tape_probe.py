@@ -6,6 +6,12 @@ Variants (SNAPPYTPU_TAPE_MODE):
                       isolates loop+load cost from the RMW chain
   const-dst           real loads + real windows, but every merge lands on a
                       fixed row: RMW with compiler-provable addresses
+  acc                 register-resident output tile: the 2-row window at
+                      the write cursor lives in loop-carried vector values;
+                      merges are vector selects, VMEM writes happen once
+                      per 512-byte row advance, reads substitute the tile
+                      rows.  Probes whether cutting dynamic VMEM accesses
+                      from ~3/piece to ~1/piece breaks the text plateau.
 Corpus: text (the flat regime), mixed for contrast.
 """
 import os, sys, time
@@ -33,7 +39,133 @@ MODE = os.environ.get("SNAPPYTPU_TAPE_MODE", "full-D3")
 log(f"backend {jax.default_backend()} mode={MODE}")
 
 
+from snappytpu.kernels.decode_vm2 import _lanes, _lanes2, _rows2
+
+
+def make_acc_kernel():
+    """Movement loop with the output write-window held in loop-carried
+    vector values (R: (2,128) rows at [wbase, wbase+2))."""
+
+    def window_acc(uni_ref, src, dst, wbase, R):
+        db = dst & 3
+        vs = src - db
+        ws = vs >> 2
+        srow = ws >> 7
+        k = ws & 127
+        sh = jnp.uint32((vs & 3) * 8)
+        kd = (dst >> 2) & 127
+        pair = uni_ref[pl.ds(srow, 2), :]
+        dlt = wbase - srow
+        pair = jnp.where(
+            dlt == 0, R,
+            jnp.where(dlt == 1,
+                      jnp.concatenate([pair[0:1], R[0:1]], axis=0), pair))
+        rot = (kd - k) & 127
+        pr = pltpu.roll(pair, rot, 1)
+        jm = (_lanes() - kd) & 127
+        w = jnp.where(jm < 128 - k, pr[0:1, :], pr[1:2, :])
+        wn = pltpu.roll(w, 127, 1)
+        uw = w.astype(jnp.uint32)
+        un = wn.astype(jnp.uint32)
+        return jnp.where(
+            sh == 0, w,
+            ((uw >> sh) | (un << (jnp.uint32(32) - sh))).astype(jnp.int32))
+
+    def merge_acc(R, u, dst, lp, wbase):
+        dw = dst >> 2
+        dw_end = (dst + lp + 3) >> 2
+        db = dst & 3
+        esh = (dst + lp) & 3
+        mask_first = (jnp.uint32(0xFFFFFFFF) << jnp.uint32(db * 8)).astype(jnp.int32)
+        mask_last = jnp.where(
+            esh == 0, jnp.int32(-1),
+            ((jnp.uint32(1) << jnp.uint32(esh * 8)) - 1).astype(jnp.int32))
+        widx = (wbase + _rows2()) * 128 + _lanes2()
+        inside = (widx >= dw) & (widx < dw_end)
+        m = jnp.where(inside, jnp.int32(-1), 0)
+        m = jnp.where(widx == dw, m & mask_first, m)
+        m = jnp.where(widx == dw_end - 1, m & mask_last, m)
+        u2 = jnp.broadcast_to(u, (2, 128))
+        return (u2 & m) | (R & ~m)
+
+    def pattern_word(u, dst, dist):
+        kd = (dst >> 2) & 127
+        db = dst & 3
+        lanes = _lanes()
+        u0 = jnp.sum(jnp.where(lanes == kd, u, 0)).astype(jnp.uint32)
+        u1 = jnp.sum(jnp.where(lanes == ((kd + 1) & 127), u, 0)).astype(jnp.uint32)
+        sh = jnp.uint32(db * 8)
+        v = jnp.where(db == 0, u0,
+                      (u0 >> sh) | (u1 << (jnp.uint32(32) - sh))).astype(jnp.int32)
+        uv = v.astype(jnp.uint32)
+        p1 = (v & 0xFF) * jnp.int32(0x01010101)
+        base2 = (v & 0xFFFF) * jnp.int32(0x00010001)
+        ub2 = base2.astype(jnp.uint32)
+        p2 = jnp.where((db & 1) == 0, base2,
+                       ((ub2 >> 8) | (ub2 << 24)).astype(jnp.int32))
+        p4 = jnp.where(db == 0, v,
+                       ((uv << sh) | (uv >> (jnp.uint32(32) - sh))).astype(jnp.int32))
+        return jnp.where(dist == 1, p1, jnp.where(dist == 2, p2, p4))
+
+    def kern(nrecs_ref, tape_ref, comp_v_ref, out_ref, ok_ref, uni_ref):
+        nr = nrecs_ref[pl.program_id(0)]
+        uni_ref[0:1, :] = jnp.zeros((1, 128), jnp.int32)
+        uni_ref[1 : 1 + COMP_ROWS, :] = comp_v_ref[0]
+        uni_ref[1 + COMP_ROWS : UROWS, :] = jnp.zeros(
+            (UROWS - COMP_ROWS - 1, 128), jnp.int32)
+
+        def load(r):
+            rc = jnp.minimum(r, DT.TAPE_MAX - 1)
+            return tape_ref[2 * rc], tape_ref[2 * rc + 1]
+
+        def step(st):
+            r, q, wbase, R = st
+            nxt = load(r + 1)
+            w0, w1 = q
+            lp = w0 >> 20
+            pk2 = (w0 >> 18) & 3
+            live = r < nr
+            dst = w1
+            rowd = dst >> 9
+            adv = live & (rowd != wbase)
+
+            @pl.when(adv)
+            def _():
+                uni_ref[pl.ds(wbase, 1), :] = R[0:1]
+
+            R = jnp.where(
+                adv,
+                jnp.concatenate([R[1:2], jnp.zeros((1, 128), jnp.int32)], axis=0),
+                R)
+            wbase = jnp.where(adv, rowd, wbase)
+
+            src = jnp.where(pk2 == 0, w0 & 0x3FFFF,
+                            dst - jnp.where(pk2 == 3, 4, pk2))
+            u = window_acc(uni_ref, src, dst, wbase, R)
+            u = jnp.where(pk2 == 0, u,
+                          pattern_word(u, dst, jnp.where(pk2 == 3, 4, pk2)))
+            Rm = merge_acc(R, u, dst, lp, wbase)
+            R = jnp.where(live, Rm, R)
+            return r + 1, nxt, wbase, R
+
+        r0 = jnp.int32(0)
+        wb0 = jnp.int32(OUT_BASE // 512)
+        R0 = jnp.zeros((2, 128), jnp.int32)
+        st = lax.while_loop(lambda st: st[0] < nr,
+                            lambda st: step(step(st)),
+                            (r0, load(r0), wb0, R0))
+        _, _, wbase, R = st
+        uni_ref[pl.ds(wbase, 2), :] = R
+        orow = OUT_BASE // 512
+        out_ref[0] = uni_ref[orow : orow + OUT_ROWS, :]
+        ok_ref[0] = jnp.full((8, 128), (nr >= 0).astype(jnp.int32), jnp.int32)
+
+    return kern
+
+
 def make_kernel(mode):
+    if mode == "acc":
+        return make_acc_kernel()
     D = 3 if mode == "full-D3" else 1
 
     def kern(nrecs_ref, tape_ref, comp_v_ref, out_ref, ok_ref, uni_ref):
