@@ -23,7 +23,9 @@ period-multiple self-overlap schedule, dist-{1,2,4} pattern fill,
 copy-chain coalescing) are decode_vm2's, byte for byte, and the accept
 set is identical (fuzz-differential tested).  A larger interleave was
 tried first and rejected: 6 whole-VM states exceed the register budget
-and the scheduler serializes the chains (decode_vm3, kept for A/B).
+and the scheduler serializes the chains (the r3 decode_vm3 experiment,
+retired in r5 after the tape probes re-confirmed its conclusion at the
+hardware level; its branchless _parse_at lives on below).
 
 Reference behavior reimplemented here: the tag dispatch and byte-forward
 overlapping copy of snappy_decompression.c:290-333/:273-280 with
@@ -54,7 +56,67 @@ from .decode_vm2 import (
     _piece,
     _unpack_words,
 )
-from .decode_vm3 import _parse_at
+
+def _parse_at(smem_ref, ip, opc_eff, comp_len, out_len):
+    """Branchless op decode at comp byte ip (identical accept set to
+    decode_vm2._block_loop.parse_at; see there for the validation
+    rationale).  Returns (hdr, ln, dist [0 => literal], bad)."""
+    wi = ip >> 2
+    w0 = smem_ref[jnp.clip(wi, 0, CW - 1)]
+    w1 = smem_ref[jnp.clip(wi + 1, 0, CW - 1)]
+    sh = (ip & 3) * 8
+    u0 = w0.astype(jnp.uint32)
+    u1 = w1.astype(jnp.uint32)
+    v = jnp.where(
+        sh == 0, u0, (u0 >> jnp.uint32(sh)) | (u1 << jnp.uint32((32 - sh) % 32))
+    ).astype(jnp.int32)
+    tag = v & 0xFF
+    b1 = (v >> 8) & 0xFF
+    b2 = (v >> 16) & 0xFF
+    b3 = lax.shift_right_logical(v, 24) & 0xFF
+    b4 = lax.shift_right_logical(w1, sh) & 0xFF
+
+    kind = tag & 3
+    code = tag >> 2
+    is_lit = kind == C.TAG_LITERAL
+    extra = jnp.where(is_lit, jnp.clip(code - (C.LITERAL_CODE_1BYTE - 1), 0, 4), 0)
+    hdr = jnp.where(
+        is_lit,
+        1 + extra,
+        jnp.where(kind == C.TAG_COPY1, 2, jnp.where(kind == C.TAG_COPY2, 3, 5)),
+    )
+    lit_len = jnp.where(
+        extra == 0,
+        code + 1,
+        jnp.where(
+            extra == 1,
+            b1 + 1,
+            jnp.where(
+                extra == 2,
+                (b1 | (b2 << 8)) + 1,
+                jnp.where(
+                    extra == 3,
+                    (b1 | (b2 << 8) | (b3 << 16)) + 1,
+                    (b1 | (b2 << 8) | (b3 << 16) | ((b4 & 0x3F) << 24)) + 1,
+                ),
+            ),
+        ),
+    )
+    cp_len = jnp.where(kind == C.TAG_COPY1, (code & 7) + 4, code + 1)
+    d = jnp.where(
+        kind == C.TAG_COPY1,
+        ((code >> 3) << 8) | b1,
+        jnp.where(kind == C.TAG_COPY2, b1 | (b2 << 8), b1 | (b2 << 8) | (b3 << 16)),
+    )
+    ln = jnp.where(is_lit, lit_len, cp_len)
+
+    bad = (ip + hdr > comp_len) | (opc_eff + ln > out_len)
+    bad = bad | (is_lit & (ip + hdr + ln > comp_len))
+    bad = bad | (~is_lit & ((d < 1) | (d > opc_eff)))
+    bad = bad | ((kind == C.TAG_COPY4) & (b4 != 0))
+    bad = bad | (is_lit & (extra == 4) & ((b4 & 0xC0) != 0))
+    return hdr, ln, jnp.where(is_lit, 0, d), bad
+
 
 D = 2  # pipeline depth: movement of piece i runs alongside parse of i+D
 

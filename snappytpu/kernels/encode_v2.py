@@ -478,12 +478,21 @@ def _elect(tiers, inh, n):
 
 
 def _reglue(blocks_u8, is_copy, ad, lead, tail, n):
-    """Two bounded gather rounds (~20 ms each — the only gathers in the
-    encoder): adopt a neighbor's distance where this anchor's 4 bytes
-    verifiably also match at it (left-neighbor round extends runs
-    rightward, right-neighbor round leftward).  Stitches the vote-boundary
-    disagreements that fragment runs.  Glued anchors carry no lead/tail
-    slack (only their own 4 bytes are verified at the adopted distance)."""
+    """Two bounded gather rounds (~17 ms each — the only gathers in the
+    encoder, and its single largest cost at 30% of the fast pipeline,
+    tools/enc_ablate.py r5): adopt a neighbor's distance where this
+    anchor's 4 bytes verifiably also match at it (left-neighbor round
+    extends runs rightward, right-neighbor round leftward).  Stitches the
+    vote-boundary disagreements that fragment runs.  Glued anchors carry
+    no lead/tail slack (only their own 4 bytes are verified at the
+    adopted distance).
+
+    Closed r5 alternatives, both wire-identical and measured SLOWER on
+    the real chip: (a) a value/query sort-join gather substitute (98k-wide
+    5-operand sort + packed fills + back-sort) ran +15 ms vs the gathers;
+    (b) dropping the second round saves 17 ms but costs +3.6% compressed
+    size (text +7%) — far beyond the contract margins.  The gathers stay.
+    """
     B = is_copy.shape[0]
     a_pos = _pos(B, NA) * G
     w = _words(blocks_u8)

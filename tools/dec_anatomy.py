@@ -32,7 +32,7 @@ from snappytpu.kernels.decode_vm2 import (
     BS, COMP_OFF, COMP_ROWS, CW, OUT_BASE, OUT_ROWS, UROWS, PIECE_MAX,
     _pack_words, _window, _lanes, _lanes2, _rows2,
 )
-from snappytpu.kernels.decode_vm3 import _parse_at
+from snappytpu.kernels.decode_vm4 import _parse_at
 
 t0 = time.time()
 def log(m): print(f"[{time.time()-t0:6.1f}s] {m}", flush=True)

@@ -18,7 +18,7 @@ def log(m): print(f"[{time.time()-t0:6.1f}s] {m}", flush=True)
 B = int(os.environ.get("SNAPPYTPU_DEC_B", "128"))
 NQ = int(os.environ.get("SNAPPYTPU_DEC_NQ", "4"))
 WHICH = os.environ.get("SNAPPYTPU_DEC_CORPUS", "mixed,text").split(",")
-# which decoder to time: "dispatch" (production decode_blocks_vm), "2", "3"
+# which decoder to time: "dispatch" (production decode_blocks_vm), "2", "4", "tape"
 VM = os.environ.get("SNAPPYTPU_DEC_VM", "dispatch")
 # cache key: hash of the encoder module source + profile, so cached
 # compressed inputs can never go silently stale when the encoder changes
@@ -30,13 +30,6 @@ log(f"backend {jax.default_backend()} vm={VM}")
 
 if VM == "2":
     from snappytpu.kernels.decode_vm2 import decode_blocks_vm2 as DEC
-elif VM == "3":
-    import functools
-
-    from snappytpu.kernels.decode_vm3 import decode_blocks_vm3
-
-    DEC = functools.partial(
-        decode_blocks_vm3, K=int(os.environ.get("SNAPPYTPU_DEC_K", "6")))
 elif VM == "4":
     from snappytpu.kernels.decode_vm4 import decode_blocks_vm4 as DEC
 elif VM == "tape":
