@@ -67,7 +67,7 @@ def decompress_file(src: str | os.PathLike, dst: str | os.PathLike,
     output size.  Streams whose ops straddle 64 KiB output boundaries (not
     produced by block encoders) fall back to the in-memory path."""
     from .. import api, cpu
-    from ..kernels.decode_vm import decode_blocks_vm
+    from ..kernels.decode_tape import decode_blocks_tape
 
     m = np.memmap(src, dtype=np.uint8, mode="r")
     out_len, start = framing.read_preamble(np.asarray(m[:32].copy()))
@@ -124,8 +124,10 @@ def decompress_file(src: str | os.PathLike, dst: str | os.PathLike,
                 pc[:size] = rows[b0:b1]
                 pl[:size] = comp_lens[b0:b1]
                 ol[:size] = win_lens[b0:b1]
-                out, ok = decode_blocks_vm(pc, pl, ol)
-                out, ok = np.asarray(out), np.asarray(ok)
+                # host-resident stream -> the movement-only tape decoder
+                # (host parses/validates, device moves; parsing-VM fallback
+                # on tape overflow is built into the wrapper)
+                out, ok = decode_blocks_tape(pc, pl, ol)
                 if not ok[:size].all():
                     raise CorruptError(
                         f"malformed block(s) "
