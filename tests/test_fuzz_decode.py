@@ -288,3 +288,64 @@ def test_windowed_truncation_differential(seed):
         assert w[0] == m[0]
         if w[0] == "ok":
             assert w[1] == m[1]
+
+
+def _tape_result(ops: np.ndarray, out_len: int):
+    from snappytpu.kernels.decode_tape import decode_blocks_tape
+
+    if not cpu.available:
+        return None
+    if out_len > C.MAX_BLOCK_SIZE or ops.size > C.MAX_COMPRESSED_BLOCK_SIZE:
+        return None
+    padded = np.zeros((1, C.MAX_COMPRESSED_BLOCK_SIZE), np.uint8)
+    padded[0, : ops.size] = ops
+    out, ok = decode_blocks_tape(
+        padded, np.array([ops.size], np.int32), np.array([out_len], np.int32)
+    )
+    if not bool(ok[0]):
+        return ("reject", None)
+    return ("ok", out[0, :out_len].tobytes())
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_tape_mutation_differential(seed):
+    """The host-tape decoder (the file decompressor's production route,
+    stream/filecodec.py) under the same mutation differential: the tape
+    builder's accept set and bytes must match the model decoder exactly."""
+    rng = np.random.default_rng(7000 + seed)
+    data = corpus.mixed(int(rng.integers(500, 60000)), seed=seed)
+    comp = model_compress(data)
+    arr = np.frombuffer(comp, np.uint8).copy()
+    out_len, start = framing.read_preamble(arr)
+    idx = int(rng.integers(start, arr.size))
+    arr[idx] ^= int(rng.integers(1, 256))
+    ops = arr[start:]
+    try:
+        m = ("ok", decode_ops(ops, out_len).tobytes())
+    except (CorruptError, ValueError):
+        m = ("reject", None)
+    t = _tape_result(ops, out_len)
+    if t is None:
+        return
+    assert t[0] == m[0], f"tape {t[0]} vs model {m[0]}"
+    if t[0] == "ok":
+        assert t[1] == m[1]
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_tape_garbage_ops(seed):
+    """Random op bytes through the tape builder: never ok unless the model
+    decoder also accepts (then byte-identical)."""
+    rng = np.random.default_rng(8000 + seed)
+    ops = rng.integers(0, 256, int(rng.integers(2, 2000)), dtype=np.uint8)
+    out_len = int(rng.integers(1, 65536))
+    try:
+        m = ("ok", decode_ops(ops, out_len).tobytes())
+    except (CorruptError, ValueError):
+        m = ("reject", None)
+    t = _tape_result(ops, out_len)
+    if t is None:
+        return
+    assert t[0] == m[0]
+    if t[0] == "ok":
+        assert t[1] == m[1]
