@@ -180,6 +180,14 @@ def decompress(data: bytes | np.ndarray) -> bytes:
 
                 return decode_ops(ops, out_len).tobytes()
         padded, comp_lens = framing.pad_chunks(chunks)
+    if cpu.available:
+        # host-resident stream: the movement-only tape decoder (host C
+        # parses/validates/schedules, device executes pure movement;
+        # parsing-VM fallback on tape overflow is built into the wrapper —
+        # kernels/decode_tape.py)
+        from .kernels.decode_tape import decode_blocks_tape as _dec
+    else:
+        _dec = decode_blocks
     out_pieces = []
     for start, size, bucket in _batched(padded.shape[0]):
         pc = np.zeros((bucket, C.MAX_COMPRESSED_BLOCK_SIZE), dtype=np.uint8)
@@ -188,7 +196,7 @@ def decompress(data: bytes | np.ndarray) -> bytes:
         pc[:size] = padded[start : start + size]
         pl[:size] = comp_lens[start : start + size]
         ol[:size] = out_lens[start : start + size]
-        out, ok = decode_blocks(pc, pl, ol)
+        out, ok = _dec(pc, pl, ol)
         out, ok = np.asarray(out), np.asarray(ok)
         if not ok[:size].all():
             raise CorruptError(f"malformed block(s) {np.nonzero(~ok[:size])[0].tolist()}")

@@ -12,10 +12,14 @@ executes movement records back to back — two SMEM loads and one funnel
 piece per record, no parse dataflow at all.
 
 Production fit: the tape needs the compressed bytes host-side, so this
-path serves host-resident streams — the file codec / CLI decompress route
-(stream/filecodec.py), where the native scanner already walks the stream.
-Device-resident pipelines (bench's encode->decode handoff) keep the
-self-contained parsing VM (decode_vm.py dispatch).
+path serves host-resident streams — api.decompress's block path and the
+file codec / CLI decompress route (stream/filecodec.py), where the native
+scanner already walks the stream.  Device-resident pipelines (bench's
+encode->decode handoff) keep the self-contained parsing VM
+(decode_vm.py dispatch).  The tape adds ~96 KiB/block of host->device
+transfer (mostly zero padding) — negligible at PCIe rates; a
+bucketed-width tape staging would cut it ~4x if transfer-bound
+deployments ever need it.
 
 Reference behavior covered: the decode loop of
 snappy_decompression.c:229-333 with validation; the host/device split has
