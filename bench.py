@@ -52,8 +52,9 @@ _REF_COMBINED_MBPS = 1.0 / (1.0 / 58.7 + 1.0 / 134.6)
 WHICH = os.environ.get("SNAPPYTPU_BENCH_CORPUS", "silesia")
 BENCH_MB = int(os.environ.get("SNAPPYTPU_BENCH_MB", "128" if WHICH == "silesia" else "32"))
 REPS = int(os.environ.get("SNAPPYTPU_BENCH_REPS", "5"))
-CHUNK = 128   # blocks per encode dispatch (8 MiB input)
-DCHUNK = 512  # blocks per decode dispatch (32 MiB; see dec_in regrouping)
+CHUNK = 128  # blocks per device dispatch (8 MiB input).  Dispatch overhead
+# (~23 ms/call over this tunnel) hides under queued compute, so larger
+# dispatch groups measured NO gain (PROFILE.md r5) — 128 keeps compiles fast.
 
 
 def _log(msg):
@@ -129,22 +130,7 @@ def _measure(which, bench_mb, reps, dense):
     totals_sum = sum(int(np.asarray(jnp.sum(t))) for _c, t in comp_dev)
     ratio = data.size / max(totals_sum, 1)
 
-    # decode dispatches carry DCHUNK blocks: each dispatch costs ~23 ms of
-    # non-pipelining tunnel overhead (measured, tools notes r5) and the
-    # decode grid amortizes it — 512-block dispatches measured +29% over
-    # 128 (the encoder measured flat at 256 and worse at 512, so encode
-    # keeps CHUNK).  Regrouping is device-side concatenation, not a fetch.
-    group = max(DCHUNK // CHUNK, 1)
-    cat = jax.jit(lambda xs: jnp.concatenate(xs, axis=0))
-    dec_in = []
-    for i in range(0, nch, group):
-        j = min(i + group, nch)
-        dec_in.append((
-            cat([comp_dev[k][0] for k in range(i, j)]),
-            cat([comp_dev[k][1] for k in range(i, j)]),
-            cat([ll[k] for k in range(i, j)]),
-            cat([bl[k] for k in range(i, j)]),
-        ))
+    dec_in = [(c, t, l, b) for (c, t), l, b in zip(comp_dev, ll, bl)]
 
     @jax.jit
     def dec_timed(c, t, l):
