@@ -13,6 +13,7 @@ avg-vs-max spread incomparable.  This appends ONE ROW PER RUN:
 
 Series: *_dist.csv per (phase, backend, profile).
 SNAPPYTPU_DIST_BACKENDS=cpu,device  SNAPPYTPU_DIST_SIZES=500,10000,...
+SNAPPYTPU_DIST_PROFILES=fast,dense   (device profiles; resume a partial series)
 """
 import os, sys, time
 
@@ -76,7 +77,8 @@ def device_series():
     from snappytpu.kernels.encode_v2 import encode_block_core
 
     log(f"device backend: {jax.default_backend()}")
-    for profile in ("fast", "dense"):
+    profiles = os.environ.get("SNAPPYTPU_DIST_PROFILES", "fast,dense").split(",")
+    for profile in profiles:
         dense = profile == "dense"
         enc_timed = jax.jit(lambda b, l, dense=dense: (lambda ct: jnp.sum(ct[1]) + jnp.sum(
             ct[0][:, ::997].astype(jnp.int32)))(encode_block_core(b, l, dense)))
